@@ -1,0 +1,46 @@
+"""Mesh construction and multi-host initialization (SURVEY.md section 2.3).
+
+Axis convention: a 1-D mesh over axis ``"blocks"`` — feature blocks (columns
+of A) are the primary parallel axis (the TP analog, SURVEY.md section 2.2).
+On a multi-host v5e slice the same flat axis spans ICI intra-host and DCN
+inter-host; residual consensus is one m-vector psum per iteration, cheap on
+either fabric (SURVEY.md section 7.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BLOCKS = "blocks"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the 'blocks' axis using the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BLOCKS,))
+
+
+def init_multihost(coordinator_address: str | None = None, **kw) -> None:
+    """Initialize multi-host JAX (v5e-16 style). No-op if single-process."""
+    if jax.process_count() > 1 or coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
+
+
+def col_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for A: columns over 'blocks' (each chip owns a column slab)."""
+    return NamedSharding(mesh, P(None, BLOCKS))
+
+
+def vec_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for x-like vectors: features over 'blocks'."""
+    return NamedSharding(mesh, P(BLOCKS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

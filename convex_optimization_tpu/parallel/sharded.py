@@ -1,0 +1,284 @@
+"""Column-sharded solvers under shard_map (SURVEY.md sections 2.2/2.3, 7.2 L3).
+
+Design: A's columns (feature blocks) are sharded over the 1-D mesh axis
+``"blocks"``; each chip owns a column slab ``A_loc`` and the matching slice of
+``x``.  The residual ``r = A x - b`` is replicated and kept in consensus by ONE
+``psum`` of an m-vector per iteration:
+
+    r_new = psum(A_loc @ x_new_loc) - b
+
+The duality-gap monitor combines local partials exactly the way the local
+path does (core.objective.gap_from_parts): penalty value and ||x||^2 via
+psum, the dual norm via pmax — so the sharded solve is bit-for-tolerance
+equivalent to the unsharded one (tested in tests/test_sharding.py).
+
+The ENTIRE while_loop lives inside one shard_map'd jitted program: no
+per-iteration host dispatch, collectives ride ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from convex_optimization_tpu.core.objective import gap_from_parts
+from convex_optimization_tpu.core.problem import Problem
+from convex_optimization_tpu.models.penalties import Penalty
+from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+from convex_optimization_tpu.ops.bcd_sweep_ref import bcd_sweep_ref
+from convex_optimization_tpu.parallel.mesh import BLOCKS
+from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
+
+
+def _state_specs() -> SolveState:
+    """PartitionSpec pytree for SolveState: x-like sharded, rest replicated."""
+    return SolveState(
+        x=P(BLOCKS), r=P(), x_prev=P(BLOCKS), r_prev=P(),
+        t_mom=P(), k=P(), rel_gap=P(), gap=P(), primal=P(),
+        keep_mask=P(BLOCKS),
+        history=History(*([P()] * 7)),
+    )
+
+
+def _local_penalty(penalty: Penalty, n_shards: int, lam1, weights_loc) -> Penalty:
+    """Shard-local view of the penalty (group counts divide over shards)."""
+    if penalty.kind == "group_l2":
+        return Penalty(lam1=lam1, kind="group_l2",
+                       ngroups=penalty.ngroups // n_shards, weights=weights_loc)
+    return Penalty(lam1=lam1, kind=penalty.kind)
+
+
+def _gap_check_local(pen_loc: Penalty, lam2, A_loc, b, s: SolveState,
+                     col_norms_loc, screen: bool) -> SolveState:
+    """Duality gap from psum/pmax-combined partials; updates history/mask."""
+    x_loc, r = s.x, s.r
+    z_loc = -(A_loc.T @ r) - lam2 * x_loc
+    dn = lax.pmax(pen_loc.dual_norm(z_loc), BLOCKS)
+    x_sq = lax.psum(jnp.vdot(x_loc, x_loc), BLOCKS)
+    g_val = lax.psum(pen_loc.value(x_loc), BLOCKS)
+    info = gap_from_parts(
+        rho_dot_b=-jnp.vdot(r, b),
+        rho_aug_sq=jnp.vdot(r, r) + lam2 * x_sq,
+        g_value=g_val,
+        dual_norm_value=dn,
+    )
+    nnz = lax.psum(jnp.sum(s.x != 0), BLOCKS).astype(jnp.int32)
+    hist = s.history.record(s.k, info.primal, info.dual, info.gap,
+                            info.rel_gap, nnz)
+    keep = s.keep_mask
+    if screen:
+        keep = keep & pen_loc.screen_keep(z_loc, info.alpha, info.gap,
+                                          col_norms_loc)
+    return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
+                      history=hist, keep_mask=keep)
+
+
+def sharded_fista(problem: Problem, L_total, state0: SolveState,
+                  cfg: SolverConfig, mesh: jax.sharding.Mesh,
+                  col_norms: jax.Array | None = None) -> SolveState:
+    """FISTA with columns of A sharded over mesh axis 'blocks' (jitted)."""
+    n_shards = mesh.shape[BLOCKS]
+    pen = problem.penalty
+    lam2 = problem.lam2
+    kind = pen.kind
+    screen = cfg.screen_every > 0
+    if col_norms is None:
+        col_norms = problem.col_norms() if screen else jnp.zeros(problem.n,
+                                                                 problem.dtype)
+    weights = pen.weights
+    if kind == "group_l2" and weights is None:
+        weights = jnp.ones((pen.ngroups,), problem.dtype)
+
+    w_spec = P(BLOCKS) if kind == "group_l2" else P()
+    if weights is None:
+        weights = jnp.zeros((1,), problem.dtype)  # dummy, replicated
+
+    def local_solve(A_loc, b, lam1, weights_loc, L_tot, cn_loc,
+                    s: SolveState) -> SolveState:
+        pen_loc = _local_penalty(pen, n_shards, lam1, weights_loc
+                                 if kind == "group_l2" else None)
+
+        def step(s: SolveState) -> SolveState:
+            x, r, x_prev, r_prev, t = s.x, s.r, s.x_prev, s.r_prev, s.t_mom
+            if cfg.momentum:
+                t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                beta = (t - 1.0) / t_next
+                y = x + beta * (x - x_prev)
+                r_y = r + beta * (r - r_prev)
+            else:
+                t_next, y, r_y = t, x, r
+            g = A_loc.T @ r_y + lam2 * y
+            stp = 1.0 / L_tot
+            x_new = pen_loc.prox(y - stp * g, stp)
+            x_new = jnp.where(s.keep_mask, x_new, 0.0)
+            r_new = lax.psum(A_loc @ x_new, BLOCKS) - b
+            if cfg.momentum and cfg.adaptive_restart:
+                dot = lax.psum(jnp.vdot(y - x_new, x_new - x), BLOCKS)
+                do_restart = dot > 0.0
+                t_next = jnp.where(do_restart, 1.0, t_next)
+                x_prev_out = jnp.where(do_restart, x_new, x)
+                r_prev_out = jnp.where(do_restart, r_new, r)
+            else:
+                x_prev_out, r_prev_out = x, r
+            return s._replace(x=x_new, r=r_new, x_prev=x_prev_out,
+                              r_prev=r_prev_out, t_mom=t_next, k=s.k + 1)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.gap_every, lambda _, st: step(st), s)
+            return _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
+
+        def cond(s):
+            return (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+
+        s = _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
+        return lax.while_loop(cond, body, s)
+
+    sspec = _state_specs()
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(None, BLOCKS), P(), P(), w_spec, P(), P(BLOCKS), sspec),
+        out_specs=sspec,
+    )
+    return jax.jit(f)(problem.A, problem.b, pen.lam1, weights, L_total,
+                      col_norms, state0)
+
+
+def sharded_bcd(problem: Problem, block_L, state0: SolveState,
+                cfg: SolverConfig, mesh: jax.sharding.Mesh,
+                col_norms: jax.Array | None = None) -> SolveState:
+    """Block-CD, Gauss-Seidel within each chip's column slab, Jacobi across
+    chips (SURVEY.md section 7.1): each sweep every chip runs the fused local
+    sweep against the consensus residual, then one psum merges the residual
+    deltas.  cfg.step_scale damps the steps for cross-chip safety."""
+    n_shards = mesh.shape[BLOCKS]
+    pen = problem.penalty
+    lam2 = problem.lam2
+    kind = pen.kind
+    screen = cfg.screen_every > 0
+    if col_norms is None:
+        col_norms = problem.col_norms() if screen else jnp.zeros(problem.n,
+                                                                 problem.dtype)
+    weights = pen.weights
+    if kind == "group_l2" and weights is None:
+        weights = jnp.ones((pen.ngroups,), problem.dtype)
+    w_spec = P(BLOCKS) if kind == "group_l2" else P()
+    if weights is None:
+        weights = jnp.zeros((1,), problem.dtype)
+
+    n_blocks = block_L.shape[0]
+    if n_blocks % n_shards != 0:
+        raise ValueError("n_blocks must divide evenly over mesh devices")
+    nb_loc = n_blocks // n_shards
+
+    def local_solve(A_loc, b, lam1, weights_loc, bL_loc, cn_loc,
+                    s: SolveState) -> SolveState:
+        pen_loc = _local_penalty(pen, n_shards, lam1, weights_loc
+                                 if kind == "group_l2" else None)
+        prob_loc = Problem(A=A_loc, b=b, penalty=pen_loc, lam2=lam2)
+        order = jnp.arange(nb_loc, dtype=jnp.int32)
+
+        def sweep(s: SolveState) -> SolveState:
+            x_loc, r = s.x, s.r
+            x_new, r_virtual = bcd_sweep_ref(
+                prob_loc, x_loc, r, bL_loc, order,
+                step_scale=cfg.step_scale, keep_mask=s.keep_mask,
+            )
+            # consensus: merge every chip's residual delta
+            r_new = r + lax.psum(r_virtual - r, BLOCKS)
+            return s._replace(x=x_new, r=r_new, k=s.k + 1)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.gap_every, lambda _, st: sweep(st), s)
+            return _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
+
+        def cond(s):
+            return (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+
+        s = _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
+        return lax.while_loop(cond, body, s)
+
+    sspec = _state_specs()
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(None, BLOCKS), P(), P(), w_spec, P(BLOCKS), P(BLOCKS), sspec),
+        out_specs=sspec,
+    )
+    return jax.jit(f)(problem.A, problem.b, pen.lam1, weights, block_L,
+                      col_norms, state0)
+
+
+def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
+                  x0=None, cfg: Optional[SolverConfig] = None,
+                  **cfg_overrides):
+    """Distributed entry used by api.solve(mesh=...).  Returns api.Result."""
+    from convex_optimization_tpu.api import Result
+    from convex_optimization_tpu.solvers.fista import init_state
+    from convex_optimization_tpu.solvers.bcd import pick_block_size
+    from convex_optimization_tpu.ops.power_iter import block_spectral_norms_sq
+
+    if cfg is None:
+        cfg = SolverConfig()
+    if method == "ista":
+        cfg_overrides.setdefault("momentum", False)
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+
+    n_shards = mesh.shape[BLOCKS]
+    if problem.n % n_shards != 0:
+        raise ValueError(f"n={problem.n} must divide over {n_shards} shards")
+    if problem.penalty.kind == "group_l2":
+        if problem.penalty.ngroups % n_shards != 0:
+            raise ValueError("ngroups must divide over shards")
+
+    # place data
+    A = jax.device_put(problem.A, NamedSharding(mesh, P(None, BLOCKS)))
+    b = jax.device_put(problem.b, NamedSharding(mesh, P()))
+    problem = dataclasses.replace(problem, A=A, b=b)
+    state0 = init_state(problem, x0, cfg)
+    state0 = jax.device_put(
+        state0,
+        jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs(),
+                     is_leaf=lambda v: isinstance(v, P)),
+    )
+
+    if method in ("fista", "ista"):
+        L_total = spectral_norm_sq(problem.A) + problem.lam2
+        run = lambda s: sharded_fista(problem, L_total, s, cfg, mesh)
+    elif method == "bcd":
+        multiple = 1
+        if problem.penalty.kind == "group_l2":
+            multiple = problem.n // problem.penalty.ngroups
+        bs = pick_block_size(problem.n // n_shards, cfg.block_size,
+                             multiple_of=multiple)
+        n_blocks = problem.n // bs
+        block_L = block_spectral_norms_sq(problem.A, n_blocks)
+        run = lambda s: sharded_bcd(problem, block_L, s, cfg, mesh)
+    else:
+        raise ValueError(f"unknown sharded method {method!r}")
+
+    t0 = time.perf_counter()
+    final = run(state0)
+    jax.block_until_ready(final.x)
+    t1 = time.perf_counter()
+    final = run(state0)
+    jax.block_until_ready(final.x)
+    t2 = time.perf_counter()
+
+    iters = int(final.k)
+    wall = t2 - t1
+    return Result(
+        x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
+        primal=float(final.primal), iterations=iters,
+        converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
+        compile_time_s=max((t1 - t0) - wall, 0.0),
+        iters_per_sec=iters / wall if wall > 0 else float("inf"),
+        history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
+        method=f"sharded_{method}", config=cfg,
+    )

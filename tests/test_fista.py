@@ -1,0 +1,87 @@
+"""Solver-level tests: FISTA/ISTA reach 1e-6 relative duality gap on
+config-1-shaped instances and match the float64 numpy oracle; ISTA is
+monotone; support recovery vs the planted support (SURVEY.md section 4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convex_optimization_tpu import solve
+from convex_optimization_tpu.core.datagen import make_lasso_instance
+from tests.oracle import solve_np
+
+KEY = jax.random.PRNGKey(3)
+
+
+@pytest.fixture(scope="module")
+def inst():
+    # config-1 twin, CI-sized; float64 so the 1e-6-grade certificate is
+    # resolvable (the f32 certificate noise floor is ~1e-6, SURVEY.md 7.4)
+    return make_lasso_instance(KEY, 150, 600, support_frac=0.03,
+                               noise_std=0.01, dtype=jnp.float64)
+
+
+def test_fista_float32_smoke():
+    # production dtype path: f32 solve certifies 1e-5 comfortably
+    inst32 = make_lasso_instance(KEY, 100, 400, dtype=jnp.float32)
+    res = solve(inst32.problem, "fista", tol=1e-5, max_iters=5000)
+    assert res.x.dtype == jnp.float32
+    assert res.converged, f"rel_gap={res.rel_gap}"
+
+
+def test_fista_reaches_tolerance(inst):
+    res = solve(inst.problem, "fista", tol=1e-6, max_iters=5000)
+    assert res.converged, f"rel_gap={res.rel_gap}"
+    assert res.rel_gap <= 1e-6
+
+
+def test_fista_matches_numpy_oracle(inst):
+    p = inst.problem
+    res = solve(p, "fista", tol=1e-9, max_iters=20000)
+    x_np = solve_np(np.asarray(p.A), np.asarray(p.b),
+                    float(p.penalty.lam1), tol=1e-11)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, atol=2e-4)
+
+
+def test_fista_support_recovery(inst):
+    res = solve(inst.problem, "fista", tol=1e-8, max_iters=10000)
+    est = np.asarray(res.x != 0)
+    true = np.asarray(inst.support)
+    # every planted coordinate recovered (lam small, low noise)
+    assert (est & true).sum() >= 0.9 * true.sum()
+
+
+def test_ista_monotone_objective(inst):
+    res = solve(inst.problem, "ista", tol=1e-6, max_iters=3000, gap_every=5)
+    primal = res.history["primal"]
+    assert len(primal) > 3
+    assert np.all(np.diff(primal) <= 1e-5 * np.abs(primal[:-1]) + 1e-7)
+
+
+def test_gap_history_never_negative(inst):
+    res = solve(inst.problem, "fista", tol=1e-6, max_iters=5000)
+    assert np.all(res.history["gap"] >= -1e-6)
+
+
+@pytest.mark.parametrize("kind,lam2,ngroups", [
+    ("nonneg_l1", 0.0, 0),
+    ("l1", 1e-2, 0),          # elastic net
+    ("group_l2", 0.0, 50),
+])
+def test_fista_variants_vs_oracle(kind, lam2, ngroups):
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 80, 200,
+                               penalty_kind=kind, ngroups=ngroups, lam2=lam2,
+                               dtype=jnp.float64)
+    p = inst.problem
+    res = solve(p, "fista", tol=1e-9, max_iters=30000)
+    assert res.rel_gap <= 1e-9
+    x_np = solve_np(np.asarray(p.A), np.asarray(p.b), float(p.penalty.lam1),
+                    lam2, kind, ngroups, tol=1e-11)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, atol=3e-4)
+
+
+def test_warm_start_faster(inst):
+    cold = solve(inst.problem, "fista", tol=1e-8, max_iters=10000)
+    warm = solve(inst.problem, "fista", x0=cold.x, tol=1e-8, max_iters=10000)
+    assert warm.iterations <= max(cold.iterations // 4, 2)
