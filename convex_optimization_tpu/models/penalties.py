@@ -110,6 +110,32 @@ class Penalty:
             return (vg * scale).reshape(v.shape)
         raise ValueError(f"unknown penalty kind {self.kind!r}")
 
+    def value_diff(self, x: jax.Array, dx: jax.Array) -> jax.Array:
+        """g(x + dx) - g(x), computed WITHOUT the difference-of-large-sums
+        cancellation (needed by f32 line searches: near convergence the true
+        difference is far below eps * g(x)).
+
+        l1: per-element |x+d| - |x| equals sign(x)*d exactly when the sign
+        does not flip; the flip branch only fires where |x| <= |d|, so every
+        summand is O(|dx_i|) and the sum's rounding error is O(eps*||dx||_1).
+        group_l2: ||a+d|| - ||a|| = (2<a,d> + ||d||^2) / (||a+d|| + ||a||).
+        """
+        if self.kind in ("l1", "nonneg_l1"):
+            xn = x + dx
+            same_sign = (xn * x > 0)
+            diff = jnp.where(same_sign, jnp.sign(x) * dx,
+                             jnp.abs(xn) - jnp.abs(x))
+            return self.lam1 * jnp.sum(diff)
+        elif self.kind == "group_l2":
+            xg = self._grouped(x)
+            dg = self._grouped(dx)
+            n_old = jnp.linalg.norm(xg, axis=1)
+            n_new = jnp.linalg.norm(xg + dg, axis=1)
+            num = 2.0 * jnp.sum(xg * dg, axis=1) + jnp.sum(dg * dg, axis=1)
+            diff = num / jnp.maximum(n_new + n_old, 1e-30)
+            return self.lam1 * jnp.sum(self._gweights(x.dtype) * diff)
+        raise ValueError(f"unknown penalty kind {self.kind!r}")
+
     def prox_block(self, v: jax.Array, t, block_idx, n_total: int) -> jax.Array:
         """Prox restricted to one contiguous column block (for block-CD sweeps).
 

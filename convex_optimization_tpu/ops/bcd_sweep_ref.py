@@ -52,7 +52,7 @@ def bcd_sweep_ref(
     def body(carry, j):
         x, r = carry
         col0 = j * B
-        Aj = lax.dynamic_slice(A, (0, col0), (m, B))
+        Aj = lax.dynamic_slice_in_dim(A, col0, B, axis=1)
         xj = lax.dynamic_slice(x, (col0,), (B,))
         g = Aj.T @ r + lam2 * xj
         t = step_scale / (lax.dynamic_index_in_dim(block_L, j, keepdims=False) + lam2)

@@ -186,13 +186,40 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
 
         def sweep(s: SolveState) -> SolveState:
             x_loc, r = s.x, s.r
+            # r is replicated; the local sweep produces a device-varying
+            # residual, so mark the carry varying for shard_map's VMA checks
+            r_in = lax.pcast(r, (BLOCKS,), to="varying")
             x_new, r_virtual = bcd_sweep_ref(
-                prob_loc, x_loc, r, bL_loc, order,
+                prob_loc, x_loc, r_in, bL_loc, order,
                 step_scale=cfg.step_scale, keep_mask=s.keep_mask,
             )
-            # consensus: merge every chip's residual delta
-            r_new = r + lax.psum(r_virtual - r, BLOCKS)
-            return s._replace(x=x_new, r=r_new, k=s.k + 1)
+            # Chips sweep their own blocks Gauss-Seidel against the shared
+            # residual; summing all chips' updates (Jacobi across chips) can
+            # overshoot when column slabs correlate.  Safeguard: exact line
+            # search on the aggregated direction.  For gamma in [0,1],
+            #   P(x + g*dx) <= 0.5*||r + g*dr||^2(+lam2 part)
+            #                  + (1-g)*G0 + g*G1          (convexity of g)
+            # minimized in closed form -> monotone descent, and gamma -> 1
+            # as cross-chip interference vanishes.  One m-vector psum (needed
+            # anyway) + three scalar psums.
+            dx = x_new - x_loc
+            dr = lax.psum(r_virtual - r_in, BLOCKS)
+            lin = jnp.vdot(r, dr) + lam2 * lax.psum(jnp.vdot(x_loc, dx), BLOCKS)
+            den = jnp.vdot(dr, dr) + lam2 * lax.psum(jnp.vdot(dx, dx), BLOCKS)
+            # value_diff avoids f32 difference-of-large-sums cancellation,
+            # which otherwise deadlocks the line search (gamma=0) while the
+            # gap is still ~1e-3
+            dG = lax.psum(pen_loc.value_diff(x_loc, dx), BLOCKS)
+            gamma_ls = jnp.clip(-(lin + dG) / jnp.maximum(den, 1e-30), 0.0, 1.0)
+            # Floor at 1/p: by convexity P(x + dx/p) <= (1/p) sum_k P(x+dx_k)
+            # <= P(x), so gamma = 1/p is ALWAYS monotone descent (Jacobi
+            # averaging) — this removes the gamma=0 deadlock fixpoint where
+            # the summed direction fails the (loose) secant test even though
+            # every chip's own sweep descended.
+            gamma = jnp.maximum(gamma_ls, 1.0 / n_shards)
+            x_out = x_loc + gamma * dx
+            r_out = r + gamma * dr
+            return s._replace(x=x_out, r=r_out, k=s.k + 1)
 
         def body(s):
             s = lax.fori_loop(0, cfg.gap_every, lambda _, st: sweep(st), s)

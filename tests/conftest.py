@@ -4,7 +4,10 @@ and zero TPUs (SURVEY.md section 4.2 'distributed without a real cluster')."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this image's sitecustomize imports jax at interpreter start, so the
+# JAX_PLATFORMS env var is consumed before this file runs — use
+# jax.config.update("jax_platforms", ...) instead (it wins as long as no
+# backend has been initialized yet).  XLA_FLAGS is still read lazily.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # x64 available for the f64 oracle/verification paths; production arrays are
 # created float32 explicitly (datagen default), matching the TPU setup.

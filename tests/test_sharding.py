@@ -1,0 +1,76 @@
+"""Distributed tests on the 8-device CPU mesh (SURVEY.md 4.2): the sharded
+solve must match the unsharded solve bit-for-tolerance — this equivalence is
+the data-race analog for collective bugs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convex_optimization_tpu import solve
+from convex_optimization_tpu.core.datagen import make_lasso_instance
+from convex_optimization_tpu.parallel.mesh import make_mesh
+
+KEY = jax.random.PRNGKey(21)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("kind,lam2,ngroups", [
+    ("l1", 0.0, 0),
+    ("l1", 1e-2, 0),
+    ("nonneg_l1", 0.0, 0),
+    ("group_l2", 0.0, 32),
+])
+def test_sharded_fista_equals_unsharded(mesh8, kind, lam2, ngroups):
+    inst = make_lasso_instance(KEY, 64, 256, penalty_kind=kind, lam2=lam2,
+                               ngroups=ngroups)
+    p = inst.problem
+    ref = solve(p, "fista", tol=1e-5, max_iters=2000)
+    shr = solve(p, "fista", mesh=mesh8, tol=1e-5, max_iters=2000)
+    assert shr.converged
+    assert shr.method == "sharded_fista"
+    np.testing.assert_allclose(np.asarray(shr.x), np.asarray(ref.x),
+                               atol=5e-5)
+    # gap histories agree at matching checkpoints
+    k = min(len(ref.history["gap"]), len(shr.history["gap"]))
+    np.testing.assert_allclose(shr.history["primal"][:k],
+                               ref.history["primal"][:k], rtol=1e-4)
+
+
+def test_sharded_bcd_converges_and_matches(mesh8):
+    inst = make_lasso_instance(jax.random.PRNGKey(5), 128, 512)
+    p = inst.problem
+    ref = solve(p, "fista", tol=1e-6, max_iters=4000)
+    shr = solve(p, "bcd", mesh=mesh8, tol=1e-6, max_iters=2000,
+                block_size=16, step_scale=1.0)
+    assert shr.converged, f"rel_gap={shr.rel_gap}"
+    np.testing.assert_allclose(np.asarray(shr.x), np.asarray(ref.x),
+                               atol=5e-4)
+
+
+def test_sharded_bcd_no_linesearch_deadlock(mesh8):
+    # regression: highly coherent columns (n >> m) used to deadlock the
+    # aggregated-direction line search at gamma=0 with the gap still ~1e-3
+    inst = make_lasso_instance(jax.random.PRNGKey(5), 64, 256)
+    shr = solve(inst.problem, "bcd", mesh=mesh8, tol=5e-6, max_iters=4000,
+                block_size=16)
+    assert shr.converged, f"rel_gap={shr.rel_gap}"
+
+
+def test_sharded_respects_mesh_of_2(mesh8):
+    # mesh-generic: also runs on a 2-device mesh
+    inst = make_lasso_instance(jax.random.PRNGKey(6), 48, 128)
+    mesh2 = make_mesh(2)
+    res = solve(inst.problem, "fista", mesh=mesh2, tol=1e-5, max_iters=2000)
+    assert res.converged
+
+
+def test_sharded_rejects_indivisible_n(mesh8):
+    inst = make_lasso_instance(jax.random.PRNGKey(7), 32, 100)  # 100 % 8 != 0
+    with pytest.raises(ValueError, match="divide"):
+        solve(inst.problem, "fista", mesh=mesh8)
