@@ -60,7 +60,8 @@ def solve(
     mesh: Optional[jax.sharding.Mesh] = None,
     **cfg_overrides: Any,
 ) -> Result:
-    """Solve a composite problem.  method: 'fista' | 'ista' | 'bcd' | 'bcd_pallas'.
+    """Solve a composite problem.
+    method: 'fista' | 'ista' | 'bcd' | 'bcd_pallas' | 'admm'.
 
     When ``mesh`` is given, the column-sharded distributed solver is used
     (see parallel/); otherwise everything runs on the default device.
@@ -83,10 +84,14 @@ def solve(
 
     col_norms = problem.col_norms() if cfg.screen_every > 0 else None
 
+    # Each branch yields the jitted fn, its full arg tuple (for .lower),
+    # and the dynamic args (statics like cfg are baked in at compile time).
     if method in ("fista", "ista"):
         L_total = spectral_norm_sq(problem.A) + problem.lam2
         state0 = fista_mod.init_state(problem, x0, cfg)
-        run = lambda s: fista_mod.fista(problem, L_total, s, cfg, col_norms)
+        jfn = fista_mod.fista
+        jargs = (problem, L_total, state0, cfg, col_norms)
+        dyn = (problem, L_total, state0, col_norms)
     elif method in ("bcd", "bcd_pallas"):
         multiple = 1
         if problem.penalty.kind == "group_l2":
@@ -96,17 +101,28 @@ def solve(
         n_blocks = problem.n // bs
         block_L = block_spectral_norms_sq(problem.A, n_blocks)
         state0 = fista_mod.init_state(problem, x0, cfg)
-        run = lambda s: bcd_mod.bcd(problem, block_L, s, cfg, col_norms)
+        jfn = bcd_mod.bcd
+        jargs = (problem, block_L, state0, cfg, col_norms)
+        dyn = (problem, block_L, state0, col_norms)
+    elif method == "admm":
+        from convex_optimization_tpu.solvers import admm as admm_mod
+
+        fac = admm_mod.admm_setup(problem)
+        state0 = admm_mod.init_state(problem, x0, cfg)
+        jfn = admm_mod.admm
+        jargs = (problem, fac, state0, cfg)
+        dyn = (problem, fac, state0)
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    # compile (result discarded — first call pays tracing + XLA compilation)
+    # AOT compile (untimed), then time exactly ONE execution.  NOTE: a
+    # warm-up-then-retime pattern is wrong here — execution backends may
+    # memoize identical (program, inputs) pairs, making the second call
+    # read ~0 (observed on the axon relay).
     t0 = time.perf_counter()
-    final = run(state0)
-    jax.block_until_ready(final.x)
+    compiled = jfn.lower(*jargs).compile()
     t1 = time.perf_counter()
-    # timed run
-    final = run(state0)
+    final = compiled(*dyn)
     jax.block_until_ready(final.x)
     t2 = time.perf_counter()
 
@@ -120,7 +136,7 @@ def solve(
         iterations=iters,
         converged=bool(final.rel_gap <= cfg.tol),
         wall_time_s=wall,
-        compile_time_s=(t1 - t0) - wall if t1 - t0 > wall else 0.0,
+        compile_time_s=t1 - t0,
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=final.history.trimmed(),
         method=method,

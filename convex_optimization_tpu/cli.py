@@ -1,0 +1,191 @@
+"""Command-line driver (SURVEY.md C7 / section 5 config row).
+
+The reference's user surface is "edit the constants module, run the driver
+script"; this CLI maps 1:1 onto the five BASELINE.md benchmark configs plus
+custom sizes, with structured JSONL metrics, snapshots, and resume.
+
+    python -m convex_optimization_tpu.cli --config config1 --ci
+    python -m convex_optimization_tpu.cli --m 2000 --n 8000 --method bcd
+    python -m convex_optimization_tpu.cli --config config2 --jsonl out.jsonl
+    python -m convex_optimization_tpu.cli --config config5 --mesh 8 --ci
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="convex_optimization_tpu",
+        description="TPU-native sparse-regression solver benchmark driver",
+    )
+    p.add_argument("--config", choices=["config1", "config2", "config3",
+                                        "config4", "config5"],
+                   help="named BASELINE.md benchmark config")
+    p.add_argument("--ci", action="store_true",
+                   help="run the CI-sized twin of the named config")
+    p.add_argument("--m", type=int, help="rows (overrides config)")
+    p.add_argument("--n", type=int, help="columns (overrides config)")
+    p.add_argument("--penalty", default=None,
+                   choices=["l1", "nonneg_l1", "group_l2"])
+    p.add_argument("--ngroups", type=int, default=0)
+    p.add_argument("--lam1-frac", type=float, default=0.1,
+                   help="lam1 as a fraction of lambda_max")
+    p.add_argument("--lam2", type=float, default=0.0,
+                   help="ridge coefficient (elastic net)")
+    p.add_argument("--method", default="fista",
+                   choices=["fista", "ista", "bcd", "bcd_pallas", "admm"])
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iters", type=int, default=10_000)
+    p.add_argument("--gap-every", type=int, default=10)
+    p.add_argument("--screen", action="store_true",
+                   help="enable gap-safe screening")
+    p.add_argument("--lambda-path", type=int, default=0,
+                   help="run a warm-started geometric path of this length")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="column-shard A over this many devices")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--jsonl", help="write per-check metrics to this file")
+    p.add_argument("--checkpoint", help="write a snapshot here after solving")
+    p.add_argument("--resume", action="store_true",
+                   help="warm-start from --checkpoint if it exists")
+    p.add_argument("--f64", action="store_true",
+                   help="float64 instance (CPU verification path)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the solve to DIR")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import (
+        BENCH_CONFIGS,
+        make_lasso_instance,
+    )
+    from convex_optimization_tpu.utils import checkpoint as ckpt
+    from convex_optimization_tpu.utils import metrics as M
+
+    # resolve the instance spec
+    if args.config:
+        cfg = BENCH_CONFIGS[args.config]
+        inst = cfg.instance(jax.random.PRNGKey(args.seed), ci=args.ci,
+                            dtype=jnp.float64 if args.f64 else jnp.float32)
+        name = cfg.name + ("-ci" if args.ci else "")
+        lambda_path = args.lambda_path or cfg.lambda_path
+        screen = args.screen or cfg.screening
+        mesh_n = args.mesh or 0
+    else:
+        if not (args.m and args.n):
+            print("either --config or both --m/--n are required",
+                  file=sys.stderr)
+            return 2
+        inst = make_lasso_instance(
+            jax.random.PRNGKey(args.seed), args.m, args.n,
+            penalty_kind=args.penalty or "l1", ngroups=args.ngroups,
+            lam1_frac=args.lam1_frac, lam2=args.lam2,
+            dtype=jnp.float64 if args.f64 else jnp.float32,
+        )
+        name = f"custom-{args.m}x{args.n}"
+        lambda_path = args.lambda_path
+        screen = args.screen
+        mesh_n = args.mesh
+
+    problem = inst.problem
+    solve_kw: dict = dict(
+        method=args.method, tol=args.tol, max_iters=args.max_iters,
+        gap_every=args.gap_every,
+    )
+    if screen:
+        solve_kw["screen_every"] = 1
+    if mesh_n:
+        from convex_optimization_tpu.parallel.mesh import make_mesh
+
+        solve_kw["mesh"] = make_mesh(mesh_n)
+
+    if args.resume and args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            snap = ckpt.load_snapshot(args.checkpoint)
+            solve_kw["x0"] = jnp.asarray(snap.x, dtype=problem.dtype)
+            problem = problem.with_lam1(snap.lam1)
+            print(f"resumed from {args.checkpoint} (lam_index="
+                  f"{snap.lam_index})", file=sys.stderr)
+
+    if lambda_path:
+        from convex_optimization_tpu.solvers.common import SolverConfig
+        from convex_optimization_tpu.solvers.lambda_path import lambda_path as run_path
+
+        scfg = SolverConfig(max_iters=args.max_iters, tol=args.tol,
+                            gap_every=args.gap_every,
+                            screen_every=1 if screen else 0)
+        with M.WallTimer() as t:
+            pr = run_path(problem, scfg, path_len=lambda_path)
+            jax.block_until_ready(pr.xs)
+        rows = []
+        for i in range(lambda_path):
+            rows.append({
+                "lam1": float(pr.lambdas[i]),
+                "rel_gap": float(pr.gaps[i]),
+                "iters": int(pr.iters[i]),
+                "nnz": int(jnp.sum(pr.xs[i] != 0)),
+            })
+            print(f"[{name}] path[{i}] lam1={rows[-1]['lam1']:.4g} "
+                  f"iters={rows[-1]['iters']} rel_gap={rows[-1]['rel_gap']:.2e} "
+                  f"nnz={rows[-1]['nnz']}", file=sys.stderr)
+        print(json.dumps({"name": name, "mode": "lambda_path",
+                          "wall_s": float(t), "path": rows}))
+        if args.checkpoint:
+            ckpt.save_snapshot(args.checkpoint, jax.device_get(pr.xs[-1]),
+                               float(pr.lambdas[-1]),
+                               lam_index=lambda_path - 1,
+                               meta={"name": name})
+        return 0
+
+    profile_ctx = None
+    if args.profile:
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+    res = solve(problem, **solve_kw)
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+
+    M.summary_line(name, res)
+    bw = M.effective_bandwidth(problem.m, problem.n, res.iterations,
+                               res.wall_time_s)
+    out = {
+        "name": name, "method": res.method, "m": problem.m, "n": problem.n,
+        "iterations": res.iterations, "rel_gap": res.rel_gap,
+        "converged": res.converged, "wall_s": res.wall_time_s,
+        "iters_per_sec": res.iters_per_sec, "nnz": res.nnz,
+        "achieved_gb_s": bw["achieved_gb_s"],
+        "fraction_of_hbm_peak": bw["fraction_of_peak"],
+    }
+    print(json.dumps(out))
+
+    if args.jsonl:
+        with open(args.jsonl, "w") as f:
+            M.write_jsonl(M.records_from_history(res.history,
+                                                 res.wall_time_s),
+                          f, meta=out)
+    if args.checkpoint:
+        ckpt.save_snapshot(args.checkpoint, jax.device_get(res.x),
+                           float(jax.device_get(
+                               jnp.asarray(problem.penalty.lam1))),
+                           iteration=res.iterations, meta={"name": name})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,6 +44,7 @@ def _state_specs() -> SolveState:
         t_mom=P(), k=P(), rel_gap=P(), gap=P(), primal=P(),
         keep_mask=P(BLOCKS),
         history=History(*([P()] * 7)),
+        best_rel_gap=P(), stall=P(),
     )
 
 
@@ -76,14 +77,20 @@ def _gap_check_local(pen_loc: Penalty, lam2, A_loc, b, s: SolveState,
     if screen:
         keep = keep & pen_loc.screen_keep(z_loc, info.alpha, info.gap,
                                           col_norms_loc)
+    improved = info.rel_gap < s.best_rel_gap
     return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
-                      history=hist, keep_mask=keep)
+                      history=hist, keep_mask=keep,
+                      best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
+                      stall=jnp.where(improved, 0, s.stall + 1))
 
 
 def sharded_fista(problem: Problem, L_total, state0: SolveState,
                   cfg: SolverConfig, mesh: jax.sharding.Mesh,
-                  col_norms: jax.Array | None = None) -> SolveState:
-    """FISTA with columns of A sharded over mesh axis 'blocks' (jitted)."""
+                  col_norms: jax.Array | None = None):
+    """FISTA with columns of A sharded over mesh axis 'blocks'.
+
+    Returns (jitted_fn, args): call ``jitted_fn(*args)`` (or AOT-lower it)
+    to run the whole solve as one shard_map'd program."""
     n_shards = mesh.shape[BLOCKS]
     pen = problem.penalty
     lam2 = problem.lam2
@@ -135,7 +142,10 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
             return _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
 
         def cond(s):
-            return (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            if cfg.stall_checks > 0:
+                go = go & (s.stall < cfg.stall_checks)
+            return go
 
         s = _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
         return lax.while_loop(cond, body, s)
@@ -146,13 +156,14 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
         in_specs=(P(None, BLOCKS), P(), P(), w_spec, P(), P(BLOCKS), sspec),
         out_specs=sspec,
     )
-    return jax.jit(f)(problem.A, problem.b, pen.lam1, weights, L_total,
-                      col_norms, state0)
+    args = (problem.A, problem.b, pen.lam1, weights, L_total,
+            col_norms, state0)
+    return jax.jit(f), args
 
 
 def sharded_bcd(problem: Problem, block_L, state0: SolveState,
                 cfg: SolverConfig, mesh: jax.sharding.Mesh,
-                col_norms: jax.Array | None = None) -> SolveState:
+                col_norms: jax.Array | None = None):
     """Block-CD, Gauss-Seidel within each chip's column slab, Jacobi across
     chips (SURVEY.md section 7.1): each sweep every chip runs the fused local
     sweep against the consensus residual, then one psum merges the residual
@@ -226,7 +237,10 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             return _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
 
         def cond(s):
-            return (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            if cfg.stall_checks > 0:
+                go = go & (s.stall < cfg.stall_checks)
+            return go
 
         s = _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
         return lax.while_loop(cond, body, s)
@@ -237,8 +251,9 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
         in_specs=(P(None, BLOCKS), P(), P(), w_spec, P(BLOCKS), P(BLOCKS), sspec),
         out_specs=sspec,
     )
-    return jax.jit(f)(problem.A, problem.b, pen.lam1, weights, block_L,
-                      col_norms, state0)
+    args = (problem.A, problem.b, pen.lam1, weights, block_L,
+            col_norms, state0)
+    return jax.jit(f), args
 
 
 def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
@@ -277,7 +292,7 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
 
     if method in ("fista", "ista"):
         L_total = spectral_norm_sq(problem.A) + problem.lam2
-        run = lambda s: sharded_fista(problem, L_total, s, cfg, mesh)
+        jfn, args = sharded_fista(problem, L_total, state0, cfg, mesh)
     elif method == "bcd":
         multiple = 1
         if problem.penalty.kind == "group_l2":
@@ -286,15 +301,16 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
                              multiple_of=multiple)
         n_blocks = problem.n // bs
         block_L = block_spectral_norms_sq(problem.A, n_blocks)
-        run = lambda s: sharded_bcd(problem, block_L, s, cfg, mesh)
+        jfn, args = sharded_bcd(problem, block_L, state0, cfg, mesh)
     else:
         raise ValueError(f"unknown sharded method {method!r}")
 
+    # AOT compile (untimed), then time ONE execution (see api.solve for why
+    # warm-up-then-retime is wrong under memoizing execution backends).
     t0 = time.perf_counter()
-    final = run(state0)
-    jax.block_until_ready(final.x)
+    compiled = jfn.lower(*args).compile()
     t1 = time.perf_counter()
-    final = run(state0)
+    final = compiled(*args)
     jax.block_until_ready(final.x)
     t2 = time.perf_counter()
 
@@ -304,7 +320,7 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
         x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
         primal=float(final.primal), iterations=iters,
         converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
-        compile_time_s=max((t1 - t0) - wall, 0.0),
+        compile_time_s=t1 - t0,
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
         method=f"sharded_{method}", config=cfg,

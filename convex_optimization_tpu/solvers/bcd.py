@@ -77,7 +77,10 @@ def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
         return _check_and_record(problem, s, cfg, col_norms)
 
     def cond(s: SolveState) -> jax.Array:
-        return (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+        go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+        if cfg.stall_checks > 0:
+            go = go & (s.stall < cfg.stall_checks)
+        return go
 
     state = _check_and_record(problem, state, cfg, col_norms)
     return lax.while_loop(cond, body, state)

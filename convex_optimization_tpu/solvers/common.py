@@ -27,6 +27,9 @@ class SolverConfig:
     step_scale: float = 1.0    # BCD step damping (Jacobi-across-chips safety)
     use_pallas: bool = False   # BCD: fused Pallas sweep vs jnp oracle sweep
     screen_every: int = 0      # 0 = screening off; else re-screen cadence
+    stall_checks: int = 0      # 0 = off; else exit after this many gap
+                               # checks without a new best rel_gap (f32
+                               # noise-floor detection, see solvers/polish.py)
 
     @property
     def max_checks(self) -> int:
@@ -95,6 +98,8 @@ class SolveState(NamedTuple):
     primal: jax.Array
     keep_mask: jax.Array  # (n,) bool screening mask (all True if unused)
     history: History
+    best_rel_gap: jax.Array  # best rel_gap seen at any check
+    stall: jax.Array         # consecutive checks without improvement (int32)
 
 
 def count_nnz(x: jax.Array) -> jax.Array:

@@ -90,9 +90,12 @@ def _check_and_record(problem: Problem, state: SolveState, cfg: SolverConfig,
     if cfg.screen_every > 0:
         new_keep = problem.penalty.screen_keep(z, info.alpha, info.gap, col_norms)
         keep = keep & new_keep
+    improved = info.rel_gap < state.best_rel_gap
     return state._replace(
         rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
         history=hist, keep_mask=keep,
+        best_rel_gap=jnp.minimum(info.rel_gap, state.best_rel_gap),
+        stall=jnp.where(improved, 0, state.stall + 1),
     )
 
 
@@ -111,6 +114,7 @@ def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,
         rel_gap=big, gap=big, primal=big,
         keep_mask=keep_mask,
         history=History.empty(cfg.max_checks, dtype),
+        best_rel_gap=big, stall=jnp.zeros((), jnp.int32),
     )
 
 
@@ -133,7 +137,10 @@ def fista(problem: Problem, L_total, state: SolveState, cfg: SolverConfig,
         return _check_and_record(problem, s, cfg, col_norms)
 
     def cond(s: SolveState) -> jax.Array:
-        return (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+        go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+        if cfg.stall_checks > 0:
+            go = go & (s.stall < cfg.stall_checks)
+        return go
 
     # record the initial point too (check slot 0)
     state = _check_and_record(problem, state, cfg, col_norms)

@@ -1,0 +1,126 @@
+"""ctypes bindings for the native host runtime (native/co_native.cpp).
+
+Build-on-first-use with g++ (cached as a .so next to the source); every
+entry point has a NumPy fallback so the framework works without a
+toolchain.  See native/co_native.cpp for what lives natively and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "co_native.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "co_native.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load():
+    """Build (if stale) and load the native library; None on failure."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", "-pthread", _SRC, "-o", _SO],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.co_gaussian_fill.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_uint64, ctypes.c_int,
+            ]
+            lib.co_write_matrix.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.co_write_matrix.restype = ctypes.c_int
+            lib.co_read_matrix_shape.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.co_read_matrix_shape.restype = ctypes.c_int
+            lib.co_read_matrix.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.co_read_matrix.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _build_failed = True
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def gaussian(shape, seed: int, *, nthreads: int | None = None) -> np.ndarray:
+    """Standard-normal f32 array; native multi-threaded path with numpy
+    fallback.  Deterministic in seed (and independent of nthreads)."""
+    size = int(np.prod(shape))
+    lib = _load()
+    if lib is None:
+        return np.random.default_rng(seed).standard_normal(
+            size).astype(np.float32).reshape(shape)
+    out = np.empty(size, dtype=np.float32)
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    lib.co_gaussian_fill(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, ctypes.c_uint64(seed), nthreads,
+    )
+    return out.reshape(shape)
+
+
+def write_matrix(path: str, arr: np.ndarray) -> None:
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr.reshape(1, -1)
+    lib = _load()
+    if lib is None:
+        np.save(path + ".npy", arr)
+        os.replace(path + ".npy", path)
+        return
+    rc = lib.co_write_matrix(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr.shape[0], arr.shape[1],
+    )
+    if rc != 0:
+        raise IOError(f"co_write_matrix({path}) failed with {rc}")
+
+
+def read_matrix(path: str) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        return np.load(path)
+    shape = (ctypes.c_int64 * 2)()
+    rc = lib.co_read_matrix_shape(path.encode(), shape)
+    if rc != 0:
+        # fallback store wrote .npy content under this name
+        try:
+            return np.load(path)
+        except Exception:
+            raise IOError(f"co_read_matrix_shape({path}) failed with {rc}")
+    rows, cols = shape[0], shape[1]
+    out = np.empty((rows, cols), dtype=np.float32)
+    rc = lib.co_read_matrix(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows, cols,
+    )
+    if rc != 0:
+        raise IOError(f"co_read_matrix({path}) failed with {rc}")
+    return out

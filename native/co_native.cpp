@@ -1,0 +1,192 @@
+// co_native — host-side native runtime for convex_optimization_tpu.
+//
+// The TPU compute path is Pallas/XLA (see ops/); this library covers the
+// runtime *around* it, where the hot cost is host CPU + disk, not MXU:
+//   * threaded standard-normal generation (xoshiro256++ + Box-Muller) for
+//     synthesizing large design matrices on the host without going through
+//     the Python RNG (used by core/datagen.py for host-side instances),
+//   * a zero-copy binary problem store (header + raw little-endian f32),
+//     written atomically and read back with plain fread into caller-owned
+//     buffers (numpy arrays), so checkpointed problems and solutions move
+//     at disk speed with no pickling.
+//
+// Exposed as a plain C ABI consumed via ctypes (utils/native.py).  The
+// reference's only native component was its CUDA compute backend
+// (SURVEY.md section 2.1 native-component ledger); this file is the
+// framework's host-runtime counterpart, not a port of it.
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Xoshiro256pp {
+  uint64_t s[4];
+
+  explicit Xoshiro256pp(uint64_t seed) {
+    // splitmix64 expansion of the seed
+    uint64_t z = seed;
+    for (int i = 0; i < 4; ++i) {
+      z += 0x9e3779b97f4a7c15ULL;
+      uint64_t t = z;
+      t = (t ^ (t >> 30)) * 0xbf58476d1ce4e5b9ULL;
+      t = (t ^ (t >> 27)) * 0x94d049bb133111ebULL;
+      s[i] = t ^ (t >> 31);
+    }
+  }
+
+  static inline uint64_t rotl(uint64_t x, int k) {
+    return (x << k) | (x >> (64 - k));
+  }
+
+  inline uint64_t next() {
+    const uint64_t result = rotl(s[0] + s[3], 23) + s[0];
+    const uint64_t t = s[1] << 17;
+    s[2] ^= s[0];
+    s[3] ^= s[1];
+    s[1] ^= s[2];
+    s[0] ^= s[3];
+    s[2] ^= t;
+    s[3] = rotl(s[3], 45);
+    return result;
+  }
+
+  // uniform in (0, 1] — never 0, safe for log()
+  inline double uniform() {
+    return ((next() >> 11) + 1) * 0x1.0p-53;
+  }
+};
+
+void fill_normal_range(float* out, int64_t lo, int64_t hi, uint64_t seed) {
+  Xoshiro256pp rng(seed);
+  int64_t i = lo;
+  // Box-Muller, two at a time
+  for (; i + 1 < hi; i += 2) {
+    double u1 = rng.uniform(), u2 = rng.uniform();
+    double rad = std::sqrt(-2.0 * std::log(u1));
+    double ang = 6.283185307179586 * u2;
+    out[i] = static_cast<float>(rad * std::cos(ang));
+    out[i + 1] = static_cast<float>(rad * std::sin(ang));
+  }
+  if (i < hi) {
+    double u1 = rng.uniform(), u2 = rng.uniform();
+    out[i] = static_cast<float>(std::sqrt(-2.0 * std::log(u1)) *
+                                std::cos(6.283185307179586 * u2));
+  }
+}
+
+constexpr char kMagic[8] = {'C', 'O', 'T', 'P', 'U', 'M', '0', '1'};
+
+struct Header {
+  char magic[8];
+  int64_t rows;
+  int64_t cols;
+  int32_t dtype;  // 0 = f32, 1 = f64
+  int32_t reserved;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Fill out[0..size) with standard normals. Deterministic in (seed, size,
+// nthreads are independent: each thread derives its own stream from seed +
+// chunk index, so the result does not depend on nthreads).
+void co_gaussian_fill(float* out, int64_t size, uint64_t seed, int nthreads) {
+  if (size <= 0) return;
+  const int64_t kChunk = 1 << 20;  // 1M elements per stream
+  const int64_t nchunks = (size + kChunk - 1) / kChunk;
+  if (nthreads < 1) nthreads = 1;
+  std::atomic<int64_t> next_chunk{0};
+  auto worker = [&]() {
+    for (;;) {
+      int64_t c = next_chunk.fetch_add(1);
+      if (c >= nchunks) break;
+      int64_t lo = c * kChunk;
+      int64_t hi = lo + kChunk < size ? lo + kChunk : size;
+      fill_normal_range(out, lo, hi, seed * 0x9e3779b97f4a7c15ULL + c + 1);
+    }
+  };
+  if (nthreads == 1 || nchunks == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+// Atomic binary matrix write: header + raw row-major data. Returns 0 on
+// success, negative errno-style codes on failure.
+int co_write_matrix(const char* path, const float* data, int64_t rows,
+                    int64_t cols) {
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = std::fopen(tmp.c_str(), "wb");
+  if (!f) return -1;
+  Header h{};
+  std::memcpy(h.magic, kMagic, 8);
+  h.rows = rows;
+  h.cols = cols;
+  h.dtype = 0;
+  bool ok = std::fwrite(&h, sizeof(h), 1, f) == 1;
+  const int64_t total = rows * cols;
+  const int64_t kIO = 1 << 22;
+  for (int64_t off = 0; ok && off < total; off += kIO) {
+    int64_t cnt = off + kIO < total ? kIO : total - off;
+    ok = std::fwrite(data + off, sizeof(float), cnt, f) ==
+         static_cast<size_t>(cnt);
+  }
+  ok = (std::fclose(f) == 0) && ok;
+  if (!ok) {
+    std::remove(tmp.c_str());
+    return -2;
+  }
+  if (std::rename(tmp.c_str(), path) != 0) {
+    std::remove(tmp.c_str());
+    return -3;
+  }
+  return 0;
+}
+
+// Read the header only: out_shape[0] = rows, out_shape[1] = cols.
+int co_read_matrix_shape(const char* path, int64_t* out_shape) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  Header h{};
+  bool ok = std::fread(&h, sizeof(h), 1, f) == 1 &&
+            std::memcmp(h.magic, kMagic, 8) == 0;
+  std::fclose(f);
+  if (!ok) return -2;
+  out_shape[0] = h.rows;
+  out_shape[1] = h.cols;
+  return 0;
+}
+
+// Read data into a caller-owned buffer of rows*cols floats.
+int co_read_matrix(const char* path, float* out, int64_t rows, int64_t cols) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  Header h{};
+  bool ok = std::fread(&h, sizeof(h), 1, f) == 1 &&
+            std::memcmp(h.magic, kMagic, 8) == 0 && h.rows == rows &&
+            h.cols == cols && h.dtype == 0;
+  const int64_t total = rows * cols;
+  const int64_t kIO = 1 << 22;
+  for (int64_t off = 0; ok && off < total; off += kIO) {
+    int64_t cnt = off + kIO < total ? kIO : total - off;
+    ok = std::fread(out + off, sizeof(float), cnt, f) ==
+         static_cast<size_t>(cnt);
+  }
+  std::fclose(f);
+  return ok ? 0 : -2;
+}
+
+int co_version() { return 1; }
+
+}  // extern "C"

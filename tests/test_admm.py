@@ -1,0 +1,81 @@
+"""ADMM solver tests (SURVEY.md C9 splitting family; PAPERS.md ADMM refs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convex_optimization_tpu.api import solve
+from convex_optimization_tpu.core.datagen import make_lasso_instance
+from convex_optimization_tpu.core.objective import duality_gap
+from convex_optimization_tpu.solvers.admm import admm_setup, _x_update
+
+
+def _inst(m=64, n=256, seed=0, **kw):
+    return make_lasso_instance(jax.random.PRNGKey(seed), m, n, **kw)
+
+
+def test_x_update_exact_both_branches():
+    """Woodbury (n > m) and direct (n <= m) x-updates solve the same system."""
+    for m, n in [(32, 96), (96, 32)]:
+        inst = _inst(m=m, n=n)
+        A = np.asarray(inst.problem.A, np.float64)
+        fac = admm_setup(inst.problem)
+        assert fac.use_woodbury == (n > m)
+        q = np.linspace(-1, 1, n).astype(np.float32)
+        c = 0.7
+        got = np.asarray(_x_update(inst.problem, fac, jnp.asarray(q), c),
+                         np.float64)
+        want = np.linalg.solve(A.T @ A + c * np.eye(n), q.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind,ngroups,lam2", [
+    ("l1", 0, 0.0),
+    ("l1", 0, 0.1),          # elastic net
+    ("nonneg_l1", 0, 0.0),
+    ("group_l2", 16, 0.0),
+])
+def test_admm_converges_and_matches_fista(kind, ngroups, lam2):
+    inst = _inst(m=96, n=256, penalty_kind=kind, ngroups=ngroups, lam2=lam2)
+    res_a = solve(inst.problem, "admm", tol=1e-5, max_iters=2000)
+    res_f = solve(inst.problem, "fista", tol=1e-6, max_iters=5000)
+    assert res_a.converged, res_a.rel_gap
+    # same optimum (certified independently by each solver's gap)
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_f.x),
+                               atol=5e-4)
+    # the returned iterate really certifies at the claimed gap
+    info = duality_gap(inst.problem, res_a.x)
+    assert float(info.rel_gap) < 2e-5
+
+
+def test_admm_overdetermined():
+    """m > n path (direct Gram branch) on a well-posed instance."""
+    inst = _inst(m=256, n=96)
+    res = solve(inst.problem, "admm", tol=1e-5, max_iters=2000)
+    assert res.converged
+
+
+def test_admm_robust_on_ill_conditioned():
+    """ADMM's exact x-update must still converge (to the f32 floor of an
+    ill-conditioned Gram) where naive fixed-step methods can stall."""
+    key = jax.random.PRNGKey(3)
+    m, n = 128, 96
+    U = jnp.linalg.qr(jax.random.normal(key, (m, m)))[0]
+    V = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(4), (n, n)))[0]
+    s = jnp.geomspace(1.0, 1e-3, n)           # condition number 1e3
+    A = (U[:, :n] * s) @ V.T
+    x_true = jnp.zeros((n,)).at[:8].set(1.0)
+    b = A @ x_true
+    from convex_optimization_tpu.core.problem import make_problem
+    from convex_optimization_tpu.core.objective import lambda_max
+    from convex_optimization_tpu.models.penalties import l1
+
+    lam = 0.05 * float(lambda_max(A, b, l1(1.0)))
+    prob = make_problem(A, b, lam)
+    res_a = solve(prob, "admm", tol=1e-4, max_iters=3000)
+    assert res_a.converged
+    # solution agrees with FISTA's at matching accuracy
+    res_f = solve(prob, "fista", tol=1e-4, max_iters=5000)
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_f.x),
+                               atol=5e-3)

@@ -1,0 +1,43 @@
+"""Native host runtime (native/co_native.cpp via utils/native.py)."""
+
+import numpy as np
+import pytest
+
+from convex_optimization_tpu.utils import native
+
+
+def test_native_builds():
+    assert native.have_native(), "g++ build of native/co_native.cpp failed"
+
+
+def test_gaussian_statistics_and_determinism():
+    a = native.gaussian((512, 256), seed=7)
+    assert a.dtype == np.float32 and a.shape == (512, 256)
+    assert abs(a.mean()) < 0.02 and abs(a.std() - 1.0) < 0.02
+    b = native.gaussian((512, 256), seed=7)
+    np.testing.assert_array_equal(a, b)          # deterministic in seed
+    c = native.gaussian((512, 256), seed=8)
+    assert not np.array_equal(a, c)
+
+
+def test_gaussian_thread_count_invariance():
+    a = native.gaussian((2048, 1024), seed=3, nthreads=1)
+    b = native.gaussian((2048, 1024), seed=3, nthreads=4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_matrix_store_roundtrip(tmp_path):
+    p = str(tmp_path / "mat.cotpu")
+    a = np.random.default_rng(0).standard_normal((37, 53)).astype(np.float32)
+    native.write_matrix(p, a)
+    back = native.read_matrix(p)
+    np.testing.assert_array_equal(back, a)
+
+
+def test_matrix_store_rejects_garbage(tmp_path):
+    if not native.have_native():
+        pytest.skip("no native lib")
+    p = str(tmp_path / "junk.bin")
+    open(p, "wb").write(b"not a matrix header at all.....")
+    with pytest.raises(Exception):
+        native.read_matrix(p)

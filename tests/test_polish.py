@@ -1,0 +1,52 @@
+"""f64 polish phase: certified 1e-6 from an f32 plateau (SURVEY.md 7.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convex_optimization_tpu.api import solve
+from convex_optimization_tpu.core.datagen import make_lasso_instance
+from convex_optimization_tpu.core.objective import duality_gap
+from convex_optimization_tpu.solvers.polish import polish
+
+
+@pytest.mark.parametrize("kind,ngroups,lam2", [
+    ("l1", 0, 0.0),
+    ("nonneg_l1", 0, 1e-2),
+    ("group_l2", 16, 0.0),
+])
+def test_polish_certifies_below_f32_floor(kind, ngroups, lam2):
+    inst = make_lasso_instance(jax.random.PRNGKey(1), 96, 256,
+                               penalty_kind=kind, ngroups=ngroups, lam2=lam2)
+    # stop the f32 solve early (coarse point, like a TPU plateau)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    pr = polish(inst.problem, res.x, tol=1e-8)
+    assert pr.rel_gap <= 1e-8, pr.rel_gap
+    assert pr.kept <= inst.problem.n
+    # independent f64 re-certification of the scattered-back full vector
+    import dataclasses
+
+    p64 = dataclasses.replace(
+        inst.problem,
+        A=inst.problem.A.astype(jnp.float64),
+        b=inst.problem.b.astype(jnp.float64),
+    )
+    info = duality_gap(p64, jnp.asarray(pr.x))
+    assert float(info.rel_gap) <= 2e-8
+
+
+def test_polish_agrees_with_direct_f64_solve():
+    inst = make_lasso_instance(jax.random.PRNGKey(2), 64, 192)
+    res = solve(inst.problem, "fista", tol=1e-5, max_iters=3000)
+    pr = polish(inst.problem, res.x, tol=1e-10)
+
+    import dataclasses
+
+    p64 = dataclasses.replace(
+        inst.problem,
+        A=inst.problem.A.astype(jnp.float64),
+        b=inst.problem.b.astype(jnp.float64),
+    )
+    ref = solve(p64, "fista", tol=1e-10, max_iters=20000)
+    np.testing.assert_allclose(pr.x, np.asarray(ref.x), atol=1e-7)
