@@ -2,23 +2,26 @@
 gap on a dense lasso (default 10k x 100k — the BASELINE.json north-star
 size).  Two phases, both included in the reported time:
 
-  1. jitted f32 FISTA on the default device (TPU under the driver), with
-     stall detection — f32 iteration arithmetic has an empirical gap floor
-     of a few 1e-6 at scale, so the loop exits when checks stop improving;
-  2. f64 polish on the gap-safe-screened support (CPU), which certifies
+  1. the fused-Pallas block-coordinate solver on the default device (TPU
+     under the driver): one kernel launch per Gauss-Seidel sweep, A
+     streamed HBM->VMEM once per sweep as an error-free bf16 split, with
+     stall detection at the f32 noise floor (ops/bcd_sweep_pallas.py);
+  2. f64 polish on the gap-safe-screened support (host), which certifies
      rel_gap <= 1e-6 in float64 (solvers/polish.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <speedup>}
 
-vs_baseline is an honest like-for-like speedup: the baseline is the SAME
-algorithm (FISTA, identical iteration sequence) implemented the reference's
-way — NumPy on the host CPU (the reference's CPU backend, SURVEY.md C3) —
-whose per-iteration wall time is measured on the same instance and scaled
-by the f32 iteration count our solve actually used.  The baseline is NOT
-charged for a polish phase (conservative: favors the baseline).
+vs_baseline is an honest like-for-like speedup: the baseline runs the SAME
+algorithm (cyclic Gauss-Seidel block-coordinate descent, identical sweep
+arithmetic — the reference's own hot loop, SURVEY.md section 3.2)
+implemented the reference's CPU way (NumPy), measured per sweep on the same
+instance and scaled by the sweep count our solve actually used.  The
+baseline is NOT charged for a polish phase (conservative: favors the
+baseline).
 
-Env overrides for smoke tests: BENCH_M, BENCH_N, BENCH_TOL, BENCH_BASE_ITERS.
+Env overrides: BENCH_M, BENCH_N, BENCH_TOL, BENCH_METHOD (bcd_pallas |
+fista | bcd | admm), BENCH_BASE_SWEEPS.
 """
 
 from __future__ import annotations
@@ -31,68 +34,90 @@ import time
 import numpy as np
 
 
-def numpy_fista_per_iter_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
-                                 iters: int = 3) -> float:
-    """Measured seconds per FISTA iteration for the NumPy/CPU reference path.
+def numpy_bcd_sweep_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
+                            block: int, sweeps: int = 2) -> float:
+    """Measured seconds per cyclic Gauss-Seidel BCD sweep, NumPy on host.
 
-    One iteration = A.T @ r (gradient) + prox + A @ x (residual refresh) —
-    the same two passes over A as the TPU path (solvers/fista.py).
+    Per block: g_j = A_j^T r, soft-threshold prox with step 1/L_j, and the
+    incremental residual update r += A_j dx — the reference's hot loop
+    (SURVEY.md section 3.2) and the exact arithmetic of our fused kernel.
     """
-    n = A.shape[1]
-    x = np.zeros(n, dtype=A.dtype)
-    x_prev = x.copy()
-    r = -b.copy()
-    r_prev = r.copy()
-    t_mom = 1.0
-    # power iteration for the step size (setup cost, not timed)
-    v = np.random.default_rng(0).standard_normal(n).astype(A.dtype)
-    v /= np.linalg.norm(v)
-    for _ in range(16):
-        w = A.T @ (A @ v)
-        v = w / max(np.linalg.norm(w), 1e-30)
-    w = A @ v
-    L = 1.02 * float(w @ w)
-    step = 1.0 / L
+    m, n = A.shape
+    n_blocks = max(n // block, 1)
+    block = n // n_blocks
+    # per-block Lipschitz (power iteration per block, setup — not timed)
+    L = np.empty(n_blocks)
+    rng = np.random.default_rng(0)
+    for j in range(n_blocks):
+        Aj = A[:, j * block:(j + 1) * block]
+        v = rng.standard_normal(Aj.shape[1]).astype(A.dtype)
+        v /= np.linalg.norm(v)
+        for _ in range(8):
+            u = Aj.T @ (Aj @ v)
+            v = u / max(np.linalg.norm(u), 1e-30)
+        u = Aj @ v
+        L[j] = 1.05 * float(u @ u)
 
+    x = np.zeros(n, dtype=A.dtype)
+    r = -b.copy()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        t_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_mom * t_mom))
-        beta = (t_mom - 1.0) / t_next
-        y = x + beta * (x - x_prev)
-        r_y = r + beta * (r - r_prev)
-        g = A.T @ r_y
-        v2 = y - step * g
-        x_new = np.sign(v2) * np.maximum(np.abs(v2) - step * lam1, 0.0)
-        r_new = A @ x_new - b
-        x_prev, r_prev, x, r, t_mom = x, r, x_new, r_new, t_next
+    for _ in range(sweeps):
+        for j in range(n_blocks):
+            sl = slice(j * block, (j + 1) * block)
+            Aj = A[:, sl]
+            g = Aj.T @ r
+            t = 1.0 / L[j]
+            v = x[sl] - t * g
+            x_new = np.sign(v) * np.maximum(np.abs(v) - t * lam1, 0.0)
+            r += Aj @ (x_new - x[sl])
+            x[sl] = x_new
     t1 = time.perf_counter()
-    return (t1 - t0) / iters
+    return (t1 - t0) / sweeps
 
 
 def main() -> None:
     m = int(os.environ.get("BENCH_M", 10_000))
     n = int(os.environ.get("BENCH_N", 100_000))
     tol = float(os.environ.get("BENCH_TOL", 1e-6))
-    base_iters = int(os.environ.get("BENCH_BASE_ITERS", 3))
+    method = os.environ.get("BENCH_METHOD", "auto")
+    base_sweeps = int(os.environ.get("BENCH_BASE_SWEEPS", 2))
+    if method == "auto":
+        # fused-Pallas Gauss-Seidel when its VMEM gate admits this size
+        # (measured ~5x faster than FISTA to tolerance), else FISTA
+        from convex_optimization_tpu.ops.bcd_sweep_pallas import (
+            pick_padded_block_size,
+        )
+
+        method = ("bcd_pallas" if pick_padded_block_size(m, n, 128)
+                  else "fista")
 
     import jax
 
-    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    # persistent compile cache: the solve programs are shape-stable across
+    # bench runs, so repeat invocations skip the 1-3 minute XLA compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache_co_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from convex_optimization_tpu.core.datagen import make_lasso_instance_host
     from convex_optimization_tpu.api import solve
     from convex_optimization_tpu.solvers.polish import polish
     from convex_optimization_tpu.utils.metrics import effective_bandwidth
 
-    inst = make_lasso_instance(jax.random.PRNGKey(42), m, n)
+    # host-side generation (native threaded Gaussian fill) so the polish
+    # phase and CPU baseline never fetch A back through the device transport
+    inst, A_np, b_np = make_lasso_instance_host(42, m, n)
     problem = inst.problem
-    lam1 = float(jax.device_get(problem.penalty.lam1))
+    lam1 = float(problem.penalty.lam1)
 
-    res = solve(problem, method="fista", tol=tol, max_iters=20_000,
-                gap_every=10, stall_checks=15)
+    res = solve(problem, method=method, tol=tol, max_iters=20_000,
+                gap_every=10, stall_checks=15, block_size=128)
     certified = res.converged and res.rel_gap <= tol
     polish_wall = 0.0
     final_gap = res.rel_gap
     if not certified:
-        pr = polish(problem, res.x, tol=tol)
+        pr = polish(problem, res.x, tol=tol, A_host=A_np, b_host=b_np)
         polish_wall = pr.wall_time_s
         final_gap = pr.rel_gap
         certified = pr.rel_gap <= tol
@@ -102,12 +127,10 @@ def main() -> None:
 
     total_wall = res.wall_time_s + polish_wall
 
-    # reference-style CPU baseline on the identical instance
-    A_np = np.asarray(jax.device_get(problem.A))
-    b_np = np.asarray(jax.device_get(problem.b))
-    per_iter = numpy_fista_per_iter_seconds(A_np, b_np, lam1,
-                                            iters=base_iters)
-    baseline_s = per_iter * max(res.iterations, 1)
+    # reference-style CPU baseline: same algorithm, same sweep count
+    per_sweep = numpy_bcd_sweep_seconds(A_np, b_np, lam1, block=128,
+                                        sweeps=base_sweeps)
+    baseline_s = per_sweep * max(res.iterations, 1)
 
     print(json.dumps({
         "metric": f"time_to_certified_{tol:g}_rel_gap_lasso_{m}x{n}",
@@ -116,15 +139,17 @@ def main() -> None:
         "vs_baseline": round(baseline_s / total_wall, 2)
             if total_wall > 0 else float("inf"),
     }))
-    bw = effective_bandwidth(m, n, res.iterations, res.wall_time_s)
+    # the fused sweep reads A once per sweep (passes_per_iter=1)
+    bw = effective_bandwidth(m, n, res.iterations, res.wall_time_s,
+                             passes_per_iter=1.0 if "bcd" in method else 2.0)
     print(
-        f"# f32: iters={res.iterations} rel_gap={res.rel_gap:.2e} "
-        f"wall={res.wall_time_s:.2f}s iters/s={res.iters_per_sec:.1f} "
+        f"# {method}: sweeps={res.iterations} rel_gap={res.rel_gap:.2e} "
+        f"wall={res.wall_time_s:.2f}s it/s={res.iters_per_sec:.1f} "
         f"bw={bw['achieved_gb_s']:.0f}GB/s "
         f"({100*bw['fraction_of_peak']:.0f}% of HBM peak) "
         f"compile={res.compile_time_s:.1f}s | polish: wall={polish_wall:.2f}s "
         f"final_gap={final_gap:.2e} certified={certified} | "
-        f"baseline_per_iter={per_iter:.4f}s total={baseline_s:.1f}s | "
+        f"baseline_per_sweep={per_sweep:.3f}s total={baseline_s:.1f}s | "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

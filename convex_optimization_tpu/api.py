@@ -51,6 +51,38 @@ class Result:
         return int(jnp.sum(self.x != 0))
 
 
+def _pad_columns(problem: Problem, pad: int) -> Problem:
+    """Append ``pad`` zero columns to A (one-time device copy).  The padded
+    coordinates are provably zero at any optimum (zero columns), and the
+    callers additionally freeze them via the solver keep mask."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    A = jnp.pad(problem.A, ((0, 0), (0, pad)))
+    pen = problem.penalty
+    if pen.kind == "group_l2":
+        gsize = problem.n // pen.ngroups
+        assert pad % gsize == 0, "padding must be whole groups"
+        extra = pad // gsize
+        w = pen.weights
+        if w is not None:
+            w = jnp.concatenate([w, jnp.ones((extra,), w.dtype)])
+        pen = dataclasses.replace(pen, ngroups=pen.ngroups + extra, weights=w)
+    return dataclasses.replace(problem, A=A, penalty=pen)
+
+
+def _perturb_start(x0, problem: Problem):
+    """A start equivalent to x0 but with fresh bytes (one element nudged by
+    ~1e-6): defeats relay-level (program, inputs) result memoization so the
+    timed run really executes.  The nudge is far below solver tolerances."""
+    import jax.numpy as jnp
+
+    base = (jnp.zeros((problem.n,), problem.dtype) if x0 is None
+            else x0.astype(problem.dtype))
+    return base.at[0].add(jnp.asarray(1e-6, problem.dtype))
+
+
 def solve(
     problem: Problem,
     method: str = "fista",
@@ -83,60 +115,96 @@ def solve(
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 
     col_norms = problem.col_norms() if cfg.screen_every > 0 else None
+    orig_n = problem.n  # the bcd_pallas branch may zero-pad columns
 
-    # Each branch yields the jitted fn, its full arg tuple (for .lower),
-    # and the dynamic args (statics like cfg are baked in at compile time).
+    # Each branch yields the jitted fn, a make_state builder (so the timed
+    # run can start from fresh input bytes), and the arg tuple shape.
     if method in ("fista", "ista"):
         L_total = spectral_norm_sq(problem.A) + problem.lam2
-        state0 = fista_mod.init_state(problem, x0, cfg)
+        make_state = lambda x: fista_mod.init_state(problem, x, cfg)
         jfn = fista_mod.fista
-        jargs = (problem, L_total, state0, cfg, col_norms)
-        dyn = (problem, L_total, state0, col_norms)
+        jargs = lambda s: (problem, L_total, s, cfg, col_norms)
     elif method in ("bcd", "bcd_pallas"):
         multiple = 1
         if problem.penalty.kind == "group_l2":
             multiple = problem.n // problem.penalty.ngroups
-        bs = bcd_mod.pick_block_size(problem.n, cfg.block_size,
-                                     multiple_of=multiple)
-        n_blocks = problem.n // bs
-        block_L = block_spectral_norms_sq(problem.A, n_blocks)
-        state0 = fista_mod.init_state(problem, x0, cfg)
+        solve_problem, bs, base_mask = problem, None, None
+        if cfg.use_pallas:
+            from convex_optimization_tpu.ops.bcd_sweep_pallas import (
+                pick_padded_block_size,
+            )
+
+            picked = pick_padded_block_size(problem.m, problem.n,
+                                            cfg.block_size, multiple)
+            if picked is not None:
+                bs, pad = picked
+                if pad:
+                    # zero-column padding to a multiple of the fused
+                    # kernel's 128-aligned block (padded coordinates are
+                    # frozen at 0 via the keep mask and sliced off the
+                    # returned solution)
+                    solve_problem = _pad_columns(problem, pad)
+                    base_mask = jnp.arange(solve_problem.n) < problem.n
+                    if x0 is not None:
+                        x0 = jnp.pad(x0, (0, pad))
+                    if col_norms is not None:
+                        col_norms = solve_problem.col_norms()
+        if bs is None:
+            bs = bcd_mod.pick_block_size(problem.n, cfg.block_size,
+                                         multiple_of=multiple)
+        n_blocks = solve_problem.n // bs
+        block_L = block_spectral_norms_sq(solve_problem.A, n_blocks)
+        make_state = lambda x: fista_mod.init_state(solve_problem, x, cfg,
+                                                    keep_mask=base_mask)
         jfn = bcd_mod.bcd
-        jargs = (problem, block_L, state0, cfg, col_norms)
-        dyn = (problem, block_L, state0, col_norms)
+        jargs = lambda s: (solve_problem, block_L, s, cfg, col_norms)
+        problem = solve_problem  # for _perturb_start sizing below
     elif method == "admm":
         from convex_optimization_tpu.solvers import admm as admm_mod
 
         fac = admm_mod.admm_setup(problem)
-        state0 = admm_mod.init_state(problem, x0, cfg)
+        make_state = lambda x: admm_mod.init_state(problem, x, cfg)
         jfn = admm_mod.admm
-        jargs = (problem, fac, state0, cfg)
-        dyn = (problem, fac, state0)
+        jargs = lambda s: (problem, fac, s, cfg)
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    # AOT compile (untimed), then time exactly ONE execution.  NOTE: a
-    # warm-up-then-retime pattern is wrong here — execution backends may
-    # memoize identical (program, inputs) pairs, making the second call
-    # read ~0 (observed on the axon relay).
+    # Timing protocol (calibrated against the axon TPU relay, where naive
+    # patterns read out garbage):
+    #  * a traced-jit call + block_until_ready blocks correctly and is
+    #    reproducible; AOT lowered/compiled executions do NOT block (the
+    #    wait silently moves to the first value fetch) — so time the
+    #    traced call, never the AOT path;
+    #  * identical (program, inputs) executions can be memoized by the
+    #    relay (a repeat run reads ~0s) — so the timed run starts from a
+    #    minutely perturbed, equivalent initial state: same problem,
+    #    fresh input bytes.
+    # The warm call pays compile + one untimed execution and is discarded;
+    # the timed run's result is what gets returned.
     t0 = time.perf_counter()
-    compiled = jfn.lower(*jargs).compile()
+    warm = jfn(*jargs(make_state(x0)))
+    int(warm.k)  # value fetch: the only reliable completion barrier here
     t1 = time.perf_counter()
-    final = compiled(*dyn)
-    jax.block_until_ready(final.x)
+    x0_t = _perturb_start(x0, problem)
+    state_t = make_state(x0_t)
+    jax.block_until_ready(state_t.x)
     t2 = time.perf_counter()
-
+    final = jfn(*jargs(state_t))
+    # barrier INSIDE the timed window: block_until_ready silently no-ops on
+    # relay-backed cached-executable executions, a value fetch cannot
     iters = int(final.k)
-    wall = t2 - t1
+    t3 = time.perf_counter()
+
+    wall = t3 - t2
     return Result(
-        x=final.x,
+        x=final.x if final.x.shape[0] == orig_n else final.x[:orig_n],
         gap=float(final.gap),
         rel_gap=float(final.rel_gap),
         primal=float(final.primal),
         iterations=iters,
         converged=bool(final.rel_gap <= cfg.tol),
         wall_time_s=wall,
-        compile_time_s=t1 - t0,
+        compile_time_s=max(t1 - t0 - wall, 0.0),
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=final.history.trimmed(),
         method=method,

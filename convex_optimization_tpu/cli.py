@@ -46,7 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda-path", type=int, default=0,
                    help="run a warm-started geometric path of this length")
     p.add_argument("--mesh", type=int, default=0,
-                   help="column-shard A over this many devices")
+                   help="shard A over this many devices")
+    p.add_argument("--mesh-axis", default="blocks",
+                   choices=["blocks", "rows"],
+                   help="blocks = column/TP-analog sharding (m-vector psum "
+                        "per iter); rows = DP-analog (n-vector psum)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--jsonl", help="write per-check metrics to this file")
     p.add_argument("--checkpoint", help="write a snapshot here after solving")
@@ -62,9 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache_co_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 
@@ -111,7 +121,7 @@ def main(argv=None) -> int:
     if mesh_n:
         from convex_optimization_tpu.parallel.mesh import make_mesh
 
-        solve_kw["mesh"] = make_mesh(mesh_n)
+        solve_kw["mesh"] = make_mesh(mesh_n, axis=args.mesh_axis)
 
     if args.resume and args.checkpoint:
         import os

@@ -85,6 +85,74 @@ def make_lasso_instance(
     )
 
 
+def make_lasso_instance_host(
+    seed: int,
+    m: int,
+    n: int,
+    *,
+    support_frac: float = 0.05,
+    noise_std: float = 0.01,
+    lam1_frac: float = 0.1,
+    lam2: float = 0.0,
+    penalty_kind: str = "l1",
+    ngroups: int = 0,
+    normalize_columns: bool = True,
+):
+    """Host-side twin of make_lasso_instance using the native runtime
+    (utils/native.py threaded Gaussian fill).  Returns
+    ``(Instance, A_np, b_np)`` — the numpy copies let post-solve host phases
+    (solvers/polish.py) and CPU baselines avoid a device->host fetch of a
+    multi-GB design matrix.
+    """
+    import numpy as np
+
+    from convex_optimization_tpu.utils import native
+
+    A = native.gaussian((m, n), seed=seed)
+    if normalize_columns:
+        A /= np.linalg.norm(A, axis=0, keepdims=True)
+
+    rng = np.random.default_rng(seed + 1)
+    nnz = max(1, int(round(support_frac * n)))
+    idx = rng.choice(n, size=nnz, replace=False)
+    support = np.zeros(n, bool)
+    support[idx] = True
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    vals += np.sign(rng.standard_normal(nnz)).astype(np.float32)
+    x_true = np.zeros(n, np.float32)
+    x_true[idx] = vals
+    if penalty_kind == "nonneg_l1":
+        x_true = np.abs(x_true)
+
+    b = A @ x_true
+    if noise_std > 0:
+        b = b + noise_std * rng.standard_normal(m).astype(np.float32)
+
+    if penalty_kind == "l1":
+        pen: Penalty = l1(1.0)
+        raw = float(np.max(np.abs(A.T @ b)))
+    elif penalty_kind == "nonneg_l1":
+        pen = nonneg_l1(1.0)
+        raw = float(max(np.max(A.T @ b), 0.0))
+    elif penalty_kind == "group_l2":
+        if ngroups <= 0 or n % ngroups != 0:
+            raise ValueError("group_l2 requires ngroups dividing n")
+        pen = group_l2(1.0, ngroups=ngroups)
+        gn = np.linalg.norm((A.T @ b).reshape(ngroups, -1), axis=1)
+        raw = float(np.max(gn))
+    else:
+        raise ValueError(f"unknown penalty kind {penalty_kind!r}")
+    pen = pen.with_lam1(lam1_frac * raw)
+
+    inst = Instance(
+        problem=Problem(A=jnp.asarray(A), b=jnp.asarray(b), penalty=pen,
+                        lam2=lam2),
+        x_true=jnp.asarray(x_true),
+        support=jnp.asarray(support),
+    )
+    return inst, A, b
+
+
 @dataclasses.dataclass(frozen=True)
 class BenchConfig:
     """One row of the BASELINE.md benchmark grid (+ a CI-sized twin)."""

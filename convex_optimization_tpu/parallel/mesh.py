@@ -13,16 +13,23 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-BLOCKS = "blocks"
+BLOCKS = "blocks"   # feature/column axis (TP analog — the primary strategy)
+ROWS = "rows"       # sample/row axis (DP analog — best when m >> n)
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the 'blocks' axis using the first n_devices devices."""
+def make_mesh(n_devices: int | None = None, devices=None,
+              axis: str = BLOCKS) -> Mesh:
+    """1-D mesh over the given axis using the first n_devices devices.
+
+    axis='blocks' column-shards A (residual consensus = m-vector psum per
+    iteration); axis='rows' row-shards A and b (gradient consensus =
+    n-vector psum per iteration) — pick by the cheaper collective.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (BLOCKS,))
+    return Mesh(np.asarray(devices), (axis,))
 
 
 def init_multihost(coordinator_address: str | None = None, **kw) -> None:

@@ -1,0 +1,129 @@
+"""Row-sharded (data-parallel analog) FISTA under shard_map.
+
+SURVEY.md section 2.2 DP row: A and b are sharded along the SAMPLE axis m
+over mesh axis ``"rows"``; each chip owns a row slab and its local residual
+slice.  The iterate x is replicated.  Per iteration the only collective is
+ONE n-vector psum (the gradient consensus):
+
+    g = psum(A_loc^T r_loc) + lam2 * y      # gradient of the smooth part
+    x+ = prox(y - g / L)                     # identical on every chip
+    r+_loc = A_loc x+ - b_loc                # local, no collective
+
+Column sharding (parallel/sharded.py) psums an m-vector per iteration; row
+sharding psums an n-vector — pick by which axis is longer.  The duality-gap
+check combines local partials (<r,b>, ||r||^2) by psum through the same
+gap_from_parts arithmetic, so row-sharded == column-sharded == local to
+tolerance (tests/test_row_sharding.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from convex_optimization_tpu.core.objective import gap_from_parts
+from convex_optimization_tpu.core.problem import Problem
+from convex_optimization_tpu.parallel.mesh import ROWS
+from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
+
+
+def _state_specs_rows() -> SolveState:
+    """x replicated; residual-like vectors sharded along 'rows'."""
+    return SolveState(
+        x=P(), r=P(ROWS), x_prev=P(), r_prev=P(ROWS),
+        t_mom=P(), k=P(), rel_gap=P(), gap=P(), primal=P(),
+        keep_mask=P(),
+        history=History(*([P()] * 7)),
+        best_rel_gap=P(), stall=P(),
+    )
+
+
+def _gap_check_rows(pen, lam2, A_loc, b_loc, s: SolveState, col_norms,
+                    screen: bool) -> SolveState:
+    x, r_loc = s.x, s.r
+    z = -lax.psum(A_loc.T @ r_loc, ROWS) - lam2 * x
+    info = gap_from_parts(
+        rho_dot_b=-lax.psum(jnp.vdot(r_loc, b_loc), ROWS),
+        rho_aug_sq=lax.psum(jnp.vdot(r_loc, r_loc), ROWS)
+        + lam2 * jnp.vdot(x, x),
+        g_value=pen.value(x),
+        dual_norm_value=pen.dual_norm(z),
+    )
+    nnz = jnp.sum(x != 0).astype(jnp.int32)
+    hist = s.history.record(s.k, info.primal, info.dual, info.gap,
+                            info.rel_gap, nnz)
+    keep = s.keep_mask
+    if screen:
+        keep = keep & pen.screen_keep(z, info.alpha, info.gap, col_norms)
+    improved = info.rel_gap < s.best_rel_gap
+    return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
+                      history=hist, keep_mask=keep,
+                      best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
+                      stall=jnp.where(improved, 0, s.stall + 1))
+
+
+def sharded_fista_rows(problem: Problem, L_total, state0: SolveState,
+                       cfg: SolverConfig, mesh: jax.sharding.Mesh,
+                       col_norms: jax.Array | None = None):
+    """FISTA with rows of A (and b) sharded over mesh axis 'rows'.
+
+    Returns (jitted_fn, args) like parallel.sharded.sharded_fista."""
+    pen = problem.penalty
+    lam2 = problem.lam2
+    screen = cfg.screen_every > 0
+    if col_norms is None:
+        # note: col_norms needs a psum over rows; precompute globally here
+        col_norms = (problem.col_norms() if screen
+                     else jnp.zeros(problem.n, problem.dtype))
+
+    def local_solve(A_loc, b_loc, lam1, L_tot, cn, s: SolveState) -> SolveState:
+        pen_l = pen.with_lam1(lam1)
+
+        def step(s: SolveState) -> SolveState:
+            x, r, x_prev, r_prev, t = s.x, s.r, s.x_prev, s.r_prev, s.t_mom
+            if cfg.momentum:
+                t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                beta = (t - 1.0) / t_next
+                y = x + beta * (x - x_prev)
+                r_y = r + beta * (r - r_prev)
+            else:
+                t_next, y, r_y = t, x, r
+            g = lax.psum(A_loc.T @ r_y, ROWS) + lam2 * y
+            stp = 1.0 / L_tot
+            x_new = pen_l.prox(y - stp * g, stp)
+            x_new = jnp.where(s.keep_mask, x_new, 0.0)
+            r_new = A_loc @ x_new - b_loc          # local residual slice
+            if cfg.momentum and cfg.adaptive_restart:
+                # x-vectors are replicated: the restart dot needs no psum
+                do_restart = jnp.vdot(y - x_new, x_new - x) > 0.0
+                t_next = jnp.where(do_restart, 1.0, t_next)
+                x_prev_out = jnp.where(do_restart, x_new, x)
+                r_prev_out = jnp.where(do_restart, r_new, r)
+            else:
+                x_prev_out, r_prev_out = x, r
+            return s._replace(x=x_new, r=r_new, x_prev=x_prev_out,
+                              r_prev=r_prev_out, t_mom=t_next, k=s.k + 1)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.gap_every, lambda _, st: step(st), s)
+            return _gap_check_rows(pen_l, lam2, A_loc, b_loc, s, cn, screen)
+
+        def cond(s):
+            go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            if cfg.stall_checks > 0:
+                go = go & (s.stall < cfg.stall_checks)
+            return go
+
+        s = _gap_check_rows(pen_l, lam2, A_loc, b_loc, s, cn, screen)
+        return lax.while_loop(cond, body, s)
+
+    sspec = _state_specs_rows()
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(ROWS, None), P(ROWS), P(), P(), P(), sspec),
+        out_specs=sspec,
+    )
+    args = (problem.A, problem.b, pen.lam1, L_total, col_norms, state0)
+    return jax.jit(f), args

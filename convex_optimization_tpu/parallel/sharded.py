@@ -33,7 +33,17 @@ from convex_optimization_tpu.core.problem import Problem
 from convex_optimization_tpu.models.penalties import Penalty
 from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
 from convex_optimization_tpu.ops.bcd_sweep_ref import bcd_sweep_ref
-from convex_optimization_tpu.parallel.mesh import BLOCKS
+from convex_optimization_tpu.parallel.collectives import ring_psum
+from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
+
+
+def _consensus_fn(cfg: "SolverConfig"):
+    """The residual-consensus all-reduce: flat psum or ppermute ring."""
+    if cfg.consensus == "ring":
+        return lambda v: ring_psum(v, BLOCKS)
+    if cfg.consensus != "psum":
+        raise ValueError(f"unknown consensus {cfg.consensus!r}")
+    return lambda v: lax.psum(v, BLOCKS)
 from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
 
 
@@ -111,6 +121,7 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
                     s: SolveState) -> SolveState:
         pen_loc = _local_penalty(pen, n_shards, lam1, weights_loc
                                  if kind == "group_l2" else None)
+        allreduce = _consensus_fn(cfg)
 
         def step(s: SolveState) -> SolveState:
             x, r, x_prev, r_prev, t = s.x, s.r, s.x_prev, s.r_prev, s.t_mom
@@ -125,7 +136,7 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
             stp = 1.0 / L_tot
             x_new = pen_loc.prox(y - stp * g, stp)
             x_new = jnp.where(s.keep_mask, x_new, 0.0)
-            r_new = lax.psum(A_loc @ x_new, BLOCKS) - b
+            r_new = allreduce(A_loc @ x_new) - b
             if cfg.momentum and cfg.adaptive_restart:
                 dot = lax.psum(jnp.vdot(y - x_new, x_new - x), BLOCKS)
                 do_restart = dot > 0.0
@@ -151,10 +162,14 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
         return lax.while_loop(cond, body, s)
 
     sspec = _state_specs()
+    # ring consensus leaves results 'varying' in the VMA system (there is
+    # no varying->invariant cast), so VMA checking is disabled for it; the
+    # ring==psum equivalence test is the correctness guard.
     f = jax.shard_map(
         local_solve, mesh=mesh,
         in_specs=(P(None, BLOCKS), P(), P(), w_spec, P(), P(BLOCKS), sspec),
         out_specs=sspec,
+        check_vma=(cfg.consensus == "psum"),
     )
     args = (problem.A, problem.b, pen.lam1, weights, L_total,
             col_norms, state0)
@@ -192,6 +207,7 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
                     s: SolveState) -> SolveState:
         pen_loc = _local_penalty(pen, n_shards, lam1, weights_loc
                                  if kind == "group_l2" else None)
+        allreduce = _consensus_fn(cfg)
         prob_loc = Problem(A=A_loc, b=b, penalty=pen_loc, lam2=lam2)
         order = jnp.arange(nb_loc, dtype=jnp.int32)
 
@@ -199,7 +215,8 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             x_loc, r = s.x, s.r
             # r is replicated; the local sweep produces a device-varying
             # residual, so mark the carry varying for shard_map's VMA checks
-            r_in = lax.pcast(r, (BLOCKS,), to="varying")
+            r_in = (lax.pcast(r, (BLOCKS,), to="varying")
+                    if cfg.consensus == "psum" else r)  # no-op w/o VMA
             x_new, r_virtual = bcd_sweep_ref(
                 prob_loc, x_loc, r_in, bL_loc, order,
                 step_scale=cfg.step_scale, keep_mask=s.keep_mask,
@@ -214,7 +231,7 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             # as cross-chip interference vanishes.  One m-vector psum (needed
             # anyway) + three scalar psums.
             dx = x_new - x_loc
-            dr = lax.psum(r_virtual - r_in, BLOCKS)
+            dr = allreduce(r_virtual - r_in)
             lin = jnp.vdot(r, dr) + lam2 * lax.psum(jnp.vdot(x_loc, dx), BLOCKS)
             den = jnp.vdot(dr, dr) + lam2 * lax.psum(jnp.vdot(dx, dx), BLOCKS)
             # value_diff avoids f32 difference-of-large-sums cancellation,
@@ -250,10 +267,94 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
         local_solve, mesh=mesh,
         in_specs=(P(None, BLOCKS), P(), P(), w_spec, P(BLOCKS), P(BLOCKS), sspec),
         out_specs=sspec,
+        check_vma=(cfg.consensus == "psum"),  # see sharded_fista note
     )
     args = (problem.A, problem.b, pen.lam1, weights, block_L,
             col_norms, state0)
     return jax.jit(f), args
+
+
+def _solve_row_sharded(problem: Problem, method: str,
+                       mesh: jax.sharding.Mesh, x0, cfg: SolverConfig):
+    """DP-analog dispatch: rows of A and b sharded over axis 'rows'."""
+    from convex_optimization_tpu.api import Result
+    from convex_optimization_tpu.solvers.fista import init_state
+    from convex_optimization_tpu.parallel.row_sharded import (
+        sharded_fista_rows,
+        _state_specs_rows,
+    )
+
+    if method not in ("fista", "ista"):
+        raise ValueError(f"row sharding supports fista/ista, got {method!r}")
+    n_shards = mesh.shape[ROWS]
+    if problem.m % n_shards != 0:
+        raise ValueError(f"m={problem.m} must divide over {n_shards} shards")
+
+    A = jax.device_put(problem.A, NamedSharding(mesh, P(ROWS, None)))
+    b = jax.device_put(problem.b, NamedSharding(mesh, P(ROWS)))
+    problem = dataclasses.replace(problem, A=A, b=b)
+    state0 = init_state(problem, x0, cfg)
+    state0 = jax.device_put(
+        state0,
+        jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs_rows(),
+                     is_leaf=lambda v: isinstance(v, P)),
+    )
+    def make_state(xinit):
+        s = init_state(problem, xinit, cfg)
+        return jax.device_put(
+            s,
+            jax.tree.map(lambda sp: NamedSharding(mesh, sp),
+                         _state_specs_rows(),
+                         is_leaf=lambda v: isinstance(v, P)),
+        )
+
+    L_total = spectral_norm_sq(problem.A) + problem.lam2
+    jfn, args = sharded_fista_rows(problem, L_total, make_state(x0), cfg,
+                                   mesh)
+    final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
+    iters = int(final.k)
+    return Result(
+        x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
+        primal=float(final.primal), iterations=iters,
+        converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
+        compile_time_s=compile_s,
+        iters_per_sec=iters / wall if wall > 0 else float("inf"),
+        history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
+        method=f"row_sharded_{method}", config=cfg,
+    )
+
+
+def _timed_run(jfn, args, make_state, x0):
+    """Warm traced call (compile + run, untimed) then a timed traced call
+    from a minutely perturbed equivalent start.  See api.solve for the
+    relay-calibrated rationale (AOT executions don't block; identical
+    inputs can be memoized).  args[-1] must be the initial state."""
+    from convex_optimization_tpu.api import _perturb_start
+
+    t0 = time.perf_counter()
+    warm = jfn(*args)
+    int(warm.k)  # value fetch: the only reliable completion barrier here
+    t1 = time.perf_counter()
+    # the perturb helper needs n/dtype; reconstruct from the state's x leaf
+    # instead of assuming the problem's position in args.
+    x_t = _perturb_start(x0, _ProblemLike(args[-1].x))
+    state_t = make_state(x_t)
+    jax.block_until_ready(state_t.x)
+    t2 = time.perf_counter()
+    final = jfn(*args[:-1], state_t)
+    # value fetch INSIDE the timed window (see api.solve)
+    int(final.k)
+    t3 = time.perf_counter()
+    wall = t3 - t2
+    return final, wall, max(t1 - t0 - wall, 0.0)
+
+
+class _ProblemLike:
+    """Adapter giving _perturb_start the (n, dtype) it needs."""
+
+    def __init__(self, x_leaf):
+        self.n = x_leaf.shape[0]
+        self.dtype = x_leaf.dtype
 
 
 def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
@@ -272,6 +373,9 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 
+    if ROWS in mesh.axis_names:
+        return _solve_row_sharded(problem, method, mesh, x0, cfg)
+
     n_shards = mesh.shape[BLOCKS]
     if problem.n % n_shards != 0:
         raise ValueError(f"n={problem.n} must divide over {n_shards} shards")
@@ -283,12 +387,16 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
     A = jax.device_put(problem.A, NamedSharding(mesh, P(None, BLOCKS)))
     b = jax.device_put(problem.b, NamedSharding(mesh, P()))
     problem = dataclasses.replace(problem, A=A, b=b)
-    state0 = init_state(problem, x0, cfg)
-    state0 = jax.device_put(
-        state0,
-        jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs(),
-                     is_leaf=lambda v: isinstance(v, P)),
-    )
+
+    def make_state(xinit):
+        s = init_state(problem, xinit, cfg)
+        return jax.device_put(
+            s,
+            jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs(),
+                         is_leaf=lambda v: isinstance(v, P)),
+        )
+
+    state0 = make_state(x0)
 
     if method in ("fista", "ista"):
         L_total = spectral_norm_sq(problem.A) + problem.lam2
@@ -305,22 +413,13 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
     else:
         raise ValueError(f"unknown sharded method {method!r}")
 
-    # AOT compile (untimed), then time ONE execution (see api.solve for why
-    # warm-up-then-retime is wrong under memoizing execution backends).
-    t0 = time.perf_counter()
-    compiled = jfn.lower(*args).compile()
-    t1 = time.perf_counter()
-    final = compiled(*args)
-    jax.block_until_ready(final.x)
-    t2 = time.perf_counter()
-
+    final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
     iters = int(final.k)
-    wall = t2 - t1
     return Result(
         x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
         primal=float(final.primal), iterations=iters,
         converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
-        compile_time_s=t1 - t0,
+        compile_time_s=compile_s,
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
         method=f"sharded_{method}", config=cfg,

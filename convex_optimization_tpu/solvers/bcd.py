@@ -74,6 +74,11 @@ def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
             return st._replace(x=x, r=r, k=st.k + 1)
 
         s = lax.fori_loop(0, cfg.gap_every, one, s)
+        # exact residual refresh once per check: the sweeps maintain r
+        # incrementally (n_blocks rank-B updates per sweep), so rounding
+        # drift accumulates across sweeps; one extra pass over A every
+        # gap_every sweeps pins it back to machine precision
+        s = s._replace(r=problem.residual(s.x))
         return _check_and_record(problem, s, cfg, col_norms)
 
     def cond(s: SolveState) -> jax.Array:

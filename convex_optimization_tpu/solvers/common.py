@@ -30,6 +30,9 @@ class SolverConfig:
     stall_checks: int = 0      # 0 = off; else exit after this many gap
                                # checks without a new best rel_gap (f32
                                # noise-floor detection, see solvers/polish.py)
+    consensus: str = "psum"    # sharded residual consensus: "psum" (one
+                               # fused all-reduce) or "ring" (ppermute ring,
+                               # overlappable — parallel/collectives.py)
 
     @property
     def max_checks(self) -> int:

@@ -7,15 +7,19 @@ noise is injected by rounded matvecs each step, not by the monitor;
 SURVEY.md section 7.4 anticipated exactly this).  To CERTIFY the 1e-6 grade
 [B:2] the solve finishes with a small float64 phase:
 
-  1. gap-safe screen at the f32 solution (f64 certificate) — at gap ~5e-6
-     the safe sphere is tight, so the kept set is a small superset of the
-     support;
-  2. compact the problem to the kept columns (host-side, new static shape);
-  3. run the SAME jitted FISTA in float64 on the CPU device, warm-started
-     at the f32 solution (TPU f64 is software-emulated and far slower than
-     host f64 — measured 17s for a 1024^3 matmul — so CPU is the right
-     backend for this small tail);
+  1. gap-safe screen at the f32 solution with an f64 certificate — at gap
+     ~5e-6 the safe sphere is tight, so the kept set is a small superset of
+     the support;
+  2. compact the problem to the kept columns;
+  3. run FISTA in float64 on the compacted problem, warm-started at the f32
+     solution;
   4. scatter back and re-certify in f64.
+
+The whole phase is plain NumPy on the host: the compacted problem is tiny
+(tens of f64 iterations at ~1 GFLOP total), so a jitted loop would cost
+more in XLA compile time than it could ever save (measured: 50 f64
+iterations = <1s of flops but ~30-50s of while_loop compilation on this
+1-core host).  TPU f64 is software-emulated and slower still.
 
 Screening safety (models/penalties.py screen_keep) guarantees the discarded
 coordinates are exactly zero at the optimum, so the compacted solve's
@@ -24,7 +28,6 @@ certificate is valid for the full problem.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import NamedTuple
 
@@ -44,62 +47,194 @@ class PolishResult(NamedTuple):
     wall_time_s: float
 
 
+class _NpPenalty:
+    """NumPy twin of models.penalties.Penalty (f64, host-side)."""
+
+    def __init__(self, kind: str, lam1: float, ngroups: int,
+                 weights: np.ndarray | None, n: int):
+        self.kind, self.lam1, self.ngroups, self.n = kind, lam1, ngroups, n
+        if kind == "group_l2":
+            self.w = (np.ones(ngroups) if weights is None
+                      else np.asarray(weights, np.float64))
+        else:
+            self.w = None
+
+    def _g(self, x):
+        return x.reshape(self.ngroups, -1)
+
+    def value(self, x):
+        if self.kind in ("l1", "nonneg_l1"):
+            return self.lam1 * np.abs(x).sum()
+        gn = np.linalg.norm(self._g(x), axis=1)
+        return self.lam1 * (self.w * gn).sum()
+
+    def prox(self, v, t):
+        tl = t * self.lam1
+        if self.kind == "l1":
+            return np.sign(v) * np.maximum(np.abs(v) - tl, 0.0)
+        if self.kind == "nonneg_l1":
+            return np.maximum(v - tl, 0.0)
+        vg = self._g(v)
+        gn = np.linalg.norm(vg, axis=1, keepdims=True)
+        scale = np.maximum(0.0, 1.0 - tl * self.w[:, None]
+                           / np.maximum(gn, 1e-300))
+        return (vg * scale).reshape(v.shape)
+
+    def dual_norm(self, z):
+        if self.kind == "l1":
+            return np.max(np.abs(z)) / self.lam1
+        if self.kind == "nonneg_l1":
+            return max(np.max(z), 0.0) / self.lam1
+        gn = np.linalg.norm(self._g(z), axis=1)
+        return np.max(gn / self.w) / self.lam1
+
+    def keep_mask(self, z, alpha, gap, col_norms):
+        """Gap-safe sphere test (matches Penalty.screen_keep)."""
+        radius = np.sqrt(max(2.0 * gap, 0.0))
+        witness = alpha * z
+        if self.kind == "l1":
+            discard = np.abs(witness) + radius * col_norms < self.lam1
+        elif self.kind == "nonneg_l1":
+            discard = witness + radius * col_norms < self.lam1
+        else:
+            gn = np.linalg.norm(self._g(witness), axis=1)
+            gcol = np.sqrt((self._g(col_norms**2)).sum(axis=1))
+            gdiscard = gn + radius * gcol < self.lam1 * self.w
+            discard = np.repeat(gdiscard, self.n // self.ngroups)
+        return ~discard
+
+    def compact(self, keep):
+        """Group-align the keep mask; return (aligned keep, compacted pen)."""
+        if self.kind != "group_l2":
+            return keep, _NpPenalty(self.kind, self.lam1, 0, None,
+                                    int(keep.sum()))
+        gsize = self.n // self.ngroups
+        gkeep = keep.reshape(-1, gsize).any(axis=1)
+        keep = np.repeat(gkeep, gsize)
+        return keep, _NpPenalty("group_l2", self.lam1, int(gkeep.sum()),
+                                self.w[gkeep], int(keep.sum()))
+
+
+def _gap_from_parts(r, b, lam2, pen, x, z):
+    """(gap, primal, rel_gap, alpha) in f64 from precomputed r and z."""
+    alpha = 1.0 / max(1.0, float(pen.dual_norm(z)))
+    aug = float(r @ r + lam2 * (x @ x))
+    primal = 0.5 * aug + float(pen.value(x))
+    dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
+    gap = primal - dual
+    rel = gap / max(abs(primal), np.finfo(np.float64).tiny)
+    return gap, primal, rel, alpha
+
+
+def _sparse_residual(A, x, b, chunk=4096):
+    """r = A x - b in f64 exploiting sparsity of x (A may be f32)."""
+    nz = np.nonzero(x)[0]
+    if len(nz) == 0:
+        return -b.astype(np.float64)
+    r = A[:, nz].astype(np.float64) @ x[nz]
+    return r - b
+
+
+def _witness_and_colnorms(A, r, lam2, x, chunk_cols=2048,
+                          need_colnorms=True):
+    """One chunked pass over A (kept f32 in memory, cast per chunk):
+    z = -A^T r - lam2 x and col_norms = sqrt(sum A_j^2 + lam2), both f64.
+    Avoids materializing a full f64 copy of A (2x bytes, 2x passes)."""
+    n = A.shape[1]
+    z = np.empty(n, np.float64)
+    cn = np.empty(n, np.float64) if need_colnorms else None
+    for c0 in range(0, n, chunk_cols):
+        c1 = min(c0 + chunk_cols, n)
+        blk = A[:, c0:c1].astype(np.float64)
+        z[c0:c1] = -(blk.T @ r)
+        if need_colnorms:
+            cn[c0:c1] = np.sqrt((blk * blk).sum(axis=0) + lam2)
+    if lam2 != 0.0:
+        z -= lam2 * x
+    return z, cn
+
+
 def polish(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
-           gap_every: int = 50) -> PolishResult:
-    """Refine a solution to an f64-certified relative gap <= tol."""
-    from convex_optimization_tpu.core.problem import Problem
-    from convex_optimization_tpu.core.objective import duality_gap
-    from convex_optimization_tpu.models.penalties import Penalty
-    from convex_optimization_tpu.solvers.common import SolverConfig
-    from convex_optimization_tpu.solvers.fista import fista, init_state
-    from convex_optimization_tpu.solvers.screening import (
-        gap_safe_keep_mask,
-        compact_problem,
-    )
-    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+           gap_every: int = 10, A_host: np.ndarray | None = None,
+           b_host: np.ndarray | None = None) -> PolishResult:
+    """Refine a solution to an f64-certified relative gap <= tol.
 
+    Pass A_host/b_host (host copies of the problem data) when available —
+    fetching a multi-GB design matrix back through a device transport can
+    otherwise dominate this phase's wall time.
+    """
     t0 = time.perf_counter()
-    # host copies (f32 -> f64)
-    A = np.asarray(jax.device_get(problem.A), dtype=np.float64)
-    b = np.asarray(jax.device_get(problem.b), dtype=np.float64)
-    x_np = np.asarray(jax.device_get(x), dtype=np.float64)
+    # A stays float32 in host memory; chunks are cast to f64 on the fly
+    # (a full f64 copy would double both the bytes and the passes — this
+    # host is memory-bandwidth-bound, so passes over A ARE the cost).
+    A = (np.asarray(jax.device_get(problem.A)) if A_host is None
+         else np.asarray(A_host))
+    b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
+                   dtype=np.float64)
+    x0 = np.asarray(jax.device_get(x), dtype=np.float64)
     lam1 = float(jax.device_get(jnp.asarray(problem.penalty.lam1)))
+    lam2 = float(problem.lam2)
     weights = problem.penalty.weights
-    w_np = (None if weights is None
-            else np.asarray(jax.device_get(weights), dtype=np.float64))
+    w = None if weights is None else np.asarray(jax.device_get(weights))
+    n = A.shape[1]
+    pen = _NpPenalty(problem.penalty.kind, lam1, problem.penalty.ngroups, w, n)
 
-    x64_was = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    try:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            pen64 = Penalty(lam1=lam1, kind=problem.penalty.kind,
-                            ngroups=problem.penalty.ngroups,
-                            weights=None if w_np is None else jnp.asarray(w_np))
-            p64 = Problem(A=jnp.asarray(A), b=jnp.asarray(b), penalty=pen64,
-                          lam2=float(problem.lam2))
-            keep = gap_safe_keep_mask(p64, jnp.asarray(x_np))
-            small, idx = compact_problem(p64, keep)
-            x_small = jnp.asarray(x_np)[idx]
+    # 1-2: screen at x0 (f64 certificate) and compact.  FULL PASS 1 over A.
+    r0 = _sparse_residual(A, x0, b)
+    z, col_norms = _witness_and_colnorms(A, r0, lam2, x0)
+    gap0, _, rel0, alpha = _gap_from_parts(r0, b, lam2, pen, x0, z)
+    keep = pen.keep_mask(z, alpha, gap0, col_norms)
+    keep, pen_s = pen.compact(keep)
+    idx = np.nonzero(keep)[0]
+    As = A[:, idx].astype(np.float64)
+    xs = x0[idx]
 
-            cfg = SolverConfig(tol=tol, max_iters=max_iters,
-                               gap_every=gap_every)
-            L = spectral_norm_sq(small.A) + small.lam2
-            state = init_state(small, x_small, cfg)
-            final = fista(small, L, state, cfg, None)
-            jax.block_until_ready(final.x)
+    # Lipschitz bound via power iteration (setup, cheap)
+    v = np.random.default_rng(0).standard_normal(len(idx))
+    v /= np.linalg.norm(v)
+    for _ in range(24):
+        u = As.T @ (As @ v)
+        v = u / max(np.linalg.norm(u), 1e-300)
+    u = As @ v
+    L = 1.05 * float(u @ u) + lam2
+    step = 1.0 / L
 
-            x_full = jnp.zeros((problem.n,), jnp.float64).at[idx].set(final.x)
-            info = duality_gap(p64, x_full)
-        wall = time.perf_counter() - t0
-        return PolishResult(
-            x=np.asarray(x_full),
-            rel_gap=float(info.rel_gap),
-            gap=float(info.gap),
-            primal=float(info.primal),
-            kept=int(idx.shape[0]),
-            iterations=int(final.k),
-            wall_time_s=wall,
-        )
-    finally:
-        jax.config.update("jax_enable_x64", x64_was)
+    # 3: f64 FISTA with adaptive restart, warm-started
+    x_prev = xs.copy()
+    r = As @ xs - b
+    r_prev = r.copy()
+    t_mom = 1.0
+    k = 0
+    rel = np.inf
+    gap = primal = np.inf
+    while k < max_iters:
+        for _ in range(gap_every):
+            t_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_mom * t_mom))
+            beta = (t_mom - 1.0) / t_next
+            y = xs + beta * (xs - x_prev)
+            r_y = r + beta * (r - r_prev)
+            g = As.T @ r_y + lam2 * y
+            x_new = pen_s.prox(y - step * g, step)
+            r_new = As @ x_new - b
+            if float((y - x_new) @ (x_new - xs)) > 0.0:   # restart
+                t_next, x_prev, r_prev = 1.0, x_new, r_new
+            else:
+                x_prev, r_prev = xs, r
+            xs, r, t_mom = x_new, r_new, t_next
+            k += 1
+        zs = -(As.T @ r) - lam2 * xs
+        gap, primal, rel, _ = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
+        if rel <= tol:
+            break
+
+    # 4: scatter back, certify on the FULL problem.  FULL PASS 2 over A
+    # (dual feasibility must be checked on every column, kept or not).
+    x_full = np.zeros(n, dtype=np.float64)
+    x_full[idx] = xs
+    z_f, _ = _witness_and_colnorms(A, r, lam2, x_full, need_colnorms=False)
+    gap_f, primal_f, rel_f, _ = _gap_from_parts(r, b, lam2, pen, x_full, z_f)
+    return PolishResult(
+        x=x_full, rel_gap=float(rel_f), gap=float(gap_f),
+        primal=float(primal_f), kept=int(len(idx)), iterations=k,
+        wall_time_s=time.perf_counter() - t0,
+    )

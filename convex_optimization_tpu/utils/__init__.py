@@ -1,1 +1,6 @@
-"""Utilities (cross-cutting): structured metrics, checkpoint/resume, timing."""
+"""Utilities (cross-cutting): structured metrics + HBM bandwidth meter,
+atomic checkpoint/resume, and ctypes bindings for the native host runtime."""
+
+from convex_optimization_tpu.utils import checkpoint, metrics, native
+
+__all__ = ["checkpoint", "metrics", "native"]

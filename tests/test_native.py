@@ -41,3 +41,30 @@ def test_matrix_store_rejects_garbage(tmp_path):
     open(p, "wb").write(b"not a matrix header at all.....")
     with pytest.raises(Exception):
         native.read_matrix(p)
+
+
+def test_host_instance_matches_device_semantics():
+    """make_lasso_instance_host builds a valid instance: unit columns,
+    planted support, lam1 in the sparse regime, solvable to tolerance."""
+    import jax
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance_host
+
+    inst, A_np, b_np = make_lasso_instance_host(7, 96, 384)
+    np.testing.assert_allclose(np.linalg.norm(A_np, axis=0), 1.0, rtol=1e-5)
+    assert A_np.shape == (96, 384) and b_np.shape == (96,)
+    res = solve(inst.problem, "fista", tol=1e-5, max_iters=4000)
+    assert res.converged
+    rec = (np.asarray(res.x != 0) & np.asarray(inst.support)).sum()
+    assert rec / np.asarray(inst.support).sum() > 0.8
+
+
+def test_host_instance_polish_with_host_arrays():
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance_host
+    from convex_optimization_tpu.solvers.polish import polish
+
+    inst, A_np, b_np = make_lasso_instance_host(9, 64, 256)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    pr = polish(inst.problem, res.x, tol=1e-8, A_host=A_np, b_host=b_np)
+    assert pr.rel_gap <= 1e-8
