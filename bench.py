@@ -82,8 +82,10 @@ def main() -> None:
     method = os.environ.get("BENCH_METHOD", "auto")
     base_sweeps = int(os.environ.get("BENCH_BASE_SWEEPS", 2))
     if method == "auto":
-        # fused-Pallas Gauss-Seidel when its VMEM gate admits this size
-        # (measured ~5x faster than FISTA to tolerance), else FISTA
+        # RESIDENT-eligible sizes use the fused-Pallas Gauss-Seidel solver
+        # (measured ~5x faster than FISTA to tolerance).  Larger m falls to
+        # FISTA: the m-tiled kernel is correct but MXU-6-pass-bound
+        # (~83 GB/s effective) while XLA FISTA streams at ~716 GB/s.
         from convex_optimization_tpu.ops.bcd_sweep_pallas import (
             pick_padded_block_size,
         )
@@ -102,7 +104,7 @@ def main() -> None:
 
     from convex_optimization_tpu.core.datagen import make_lasso_instance_host
     from convex_optimization_tpu.api import solve
-    from convex_optimization_tpu.solvers.polish import polish
+    from convex_optimization_tpu.solvers.polish import polish_fast
     from convex_optimization_tpu.utils.metrics import effective_bandwidth
 
     # host-side generation (native threaded Gaussian fill) so the polish
@@ -117,7 +119,7 @@ def main() -> None:
     polish_wall = 0.0
     final_gap = res.rel_gap
     if not certified:
-        pr = polish(problem, res.x, tol=tol, A_host=A_np, b_host=b_np)
+        pr = polish_fast(problem, res.x, tol=tol, A_host=A_np, b_host=b_np)
         polish_wall = pr.wall_time_s
         final_gap = pr.rel_gap
         certified = pr.rel_gap <= tol

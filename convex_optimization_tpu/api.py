@@ -133,9 +133,14 @@ def solve(
             from convex_optimization_tpu.ops.bcd_sweep_pallas import (
                 pick_padded_block_size,
             )
+            from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
+                pick_padded_block_size_tiled,
+            )
 
-            picked = pick_padded_block_size(problem.m, problem.n,
-                                            cfg.block_size, multiple)
+            picked = (pick_padded_block_size(problem.m, problem.n,
+                                             cfg.block_size, multiple)
+                      or pick_padded_block_size_tiled(
+                          problem.m, problem.n, cfg.block_size, multiple))
             if picked is not None:
                 bs, pad = picked
                 if pad:

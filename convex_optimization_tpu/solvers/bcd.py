@@ -54,13 +54,43 @@ def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
     order = jnp.arange(n_blocks, dtype=jnp.int32)
 
     if cfg.use_pallas:
-        from convex_optimization_tpu.ops.bcd_sweep_pallas import bcd_sweep_pallas
+        from convex_optimization_tpu.ops.bcd_sweep_pallas import (
+            bcd_sweep_pallas,
+            eligible,
+        )
+        from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
+            bcd_sweep_pallas_tiled,
+            eligible_tiled,
+        )
 
-        def sweep_fn(st: SolveState):
-            return bcd_sweep_pallas(
-                problem, st.x, st.r, block_L,
-                step_scale=cfg.step_scale, keep_mask=st.keep_mask,
+        B = problem.n // n_blocks
+        if eligible(problem.m, problem.n, B, problem.dtype):
+            def sweep_fn(st: SolveState):  # A_j resident: 1 HBM read/sweep
+                return bcd_sweep_pallas(
+                    problem, st.x, st.r, block_L,
+                    step_scale=cfg.step_scale, keep_mask=st.keep_mask,
+                )
+        elif eligible_tiled(problem.m, problem.n, B, problem.dtype):
+            from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
+                to_block_major,
             )
+
+            # one-time block-major relayout, hoisted out of the while_loop
+            # (contiguous DMA tiles; strided tiles measured 7x slower)
+            A_blocks = to_block_major(problem.A, n_blocks)
+
+            def sweep_fn(st: SolveState):  # streamed tiles: 2 reads/sweep
+                return bcd_sweep_pallas_tiled(
+                    problem, st.x, st.r, block_L,
+                    step_scale=cfg.step_scale, keep_mask=st.keep_mask,
+                    A_blocks=A_blocks,
+                )
+        else:
+            def sweep_fn(st: SolveState):  # falls back to the jnp oracle
+                return bcd_sweep_pallas(
+                    problem, st.x, st.r, block_L,
+                    step_scale=cfg.step_scale, keep_mask=st.keep_mask,
+                )
     else:
         def sweep_fn(st: SolveState):
             return bcd_sweep_ref(

@@ -154,10 +154,158 @@ def _witness_and_colnorms(A, r, lam2, x, chunk_cols=2048,
     return z, cn
 
 
+def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
+                gap_every: int = 10, A_host: np.ndarray | None = None,
+                b_host: np.ndarray | None = None) -> PolishResult:
+    """Certified refinement with ZERO full-width f64 passes over A.
+
+    The expensive parts of ``polish`` are two host passes over all n
+    columns (screen witness + final dual-feasibility check).  Both are
+    eliminated by a safe-screening argument:
+
+      * the dual objective D(theta) = <theta, b> - ||theta||^2/2 is
+        1-strongly concave, so any feasible theta0 with gap g0 satisfies
+        ||theta0 - theta*|| <= sqrt(2 g0);
+      * the compact solve's witness theta_hat has
+        ||theta_hat - theta*|| <= sqrt(2 g_hat), so
+        ||theta_hat - theta0|| <= R := sqrt(2 g0) + sqrt(2 g_hat);
+      * therefore screening AT theta0 WITH RADIUS R certifies
+        |A_j^T theta_hat| < lam1 for every discarded column j — the compact
+        certificate extends verbatim to the full problem (discarded coords
+        are zero in x_full, so P and D are unchanged).
+
+    The screen itself runs on the DEVICE in f32 (one fast pass over A),
+    with every f32 quantity inflated by a deterministic rounding bound
+    before use; g_hat <= tol * P is known a priori.  Only the compacted
+    columns are ever touched on the host in f64.
+    """
+    import jax.numpy as jnp
+
+    from convex_optimization_tpu.core.objective import dual_witness, gap_from_parts
+
+    t0 = time.perf_counter()
+    m, n = problem.A.shape
+    lam1 = float(jax.device_get(jnp.asarray(problem.penalty.lam1)))
+    lam2 = float(problem.lam2)
+    weights = problem.penalty.weights
+    w = None if weights is None else np.asarray(jax.device_get(weights))
+    pen = _NpPenalty(problem.penalty.kind, lam1, problem.penalty.ngroups, w, n)
+
+    # --- device pass: f32 witness, gap, col norms (HBM-speed) ---
+    x_dev = jnp.asarray(x, problem.dtype)
+    r_dev = problem.residual(x_dev)
+    z_dev = dual_witness(problem, x_dev, r_dev)
+    info = gap_from_parts(
+        rho_dot_b=-jnp.vdot(r_dev, problem.b),
+        rho_aug_sq=jnp.vdot(r_dev, r_dev) + lam2 * jnp.vdot(x_dev, x_dev),
+        g_value=problem.penalty.value(x_dev),
+        dual_norm_value=problem.penalty.dual_norm(z_dev),
+    )
+    cn_dev = problem.col_norms()
+    z0 = np.asarray(jax.device_get(z_dev), np.float64)
+    cn = np.asarray(jax.device_get(cn_dev), np.float64)
+    r_norm = float(jax.device_get(jnp.linalg.norm(r_dev)))
+    gap0 = float(jax.device_get(info.gap))
+    primal0 = float(jax.device_get(info.primal))
+    alpha0 = float(jax.device_get(info.alpha))
+
+    # deterministic f32 rounding inflation: |delta z_j| <= gamma ||A_j|| ||r||
+    # (tree-reduction bound), col norms and the gap inflated likewise
+    eps = float(np.finfo(np.float32).eps)
+    gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
+    cn_safe = cn * (1.0 + 4 * eps) + 1e-12
+    z_err = gamma * cn_safe * r_norm
+    gap_safe = 1.25 * abs(gap0) + 4 * eps * abs(primal0)
+
+    # screening radius: R0 (at theta0) + R_hat (tol-level compact gap)
+    radius = (np.sqrt(2.0 * gap_safe)
+              + np.sqrt(2.0 * tol * abs(primal0) * 1.5))
+    witness = np.abs(alpha0 * z0) + alpha0 * z_err
+    if pen.kind == "l1":
+        discard = witness + radius * cn_safe < lam1
+    elif pen.kind == "nonneg_l1":
+        discard = (alpha0 * z0 + alpha0 * z_err
+                   + radius * cn_safe < lam1)
+    else:  # group_l2
+        gw = np.linalg.norm(pen._g(witness), axis=1)
+        gcn = np.sqrt((pen._g(cn_safe ** 2)).sum(axis=1))
+        gdiscard = gw + radius * gcn < lam1 * pen.w
+        discard = np.repeat(gdiscard, n // pen.ngroups)
+    keep = ~discard
+    keep, pen_s = pen.compact(keep)
+    idx = np.nonzero(keep)[0]
+
+    # --- host: f64 compact solve only (no full-width passes) ---
+    if A_host is None:
+        As = np.asarray(jax.device_get(problem.A[:, jnp.asarray(idx)]),
+                        np.float64)
+    else:
+        As = A_host[:, idx].astype(np.float64)
+    b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
+                   dtype=np.float64)
+    xs = np.asarray(jax.device_get(x), np.float64)[idx]
+
+    xs, k, rel, gap, primal, r = _fista64(As, b, lam2, pen_s, xs, tol,
+                                          max_iters, gap_every)
+    x_full = np.zeros(n, dtype=np.float64)
+    x_full[idx] = xs
+    return PolishResult(
+        x=x_full, rel_gap=float(rel), gap=float(gap), primal=float(primal),
+        kept=int(len(idx)), iterations=k,
+        wall_time_s=time.perf_counter() - t0,
+    )
+
+
+def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every):
+    """f64 FISTA (adaptive restart) on the compacted problem.  Returns
+    (x, iters, rel_gap, gap, primal, r)."""
+    v = np.random.default_rng(0).standard_normal(As.shape[1])
+    v /= np.linalg.norm(v)
+    for _ in range(24):
+        u = As.T @ (As @ v)
+        v = u / max(np.linalg.norm(u), 1e-300)
+    u = As @ v
+    L = 1.05 * float(u @ u) + lam2
+    step = 1.0 / L
+
+    x_prev = xs.copy()
+    r = As @ xs - b
+    r_prev = r.copy()
+    t_mom = 1.0
+    k = 0
+    rel = gap = primal = np.inf
+    while k < max_iters:
+        for _ in range(gap_every):
+            t_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_mom * t_mom))
+            beta = (t_mom - 1.0) / t_next
+            y = xs + beta * (xs - x_prev)
+            r_y = r + beta * (r - r_prev)
+            g = As.T @ r_y + lam2 * y
+            x_new = pen_s.prox(y - step * g, step)
+            r_new = As @ x_new - b
+            if float((y - x_new) @ (x_new - xs)) > 0.0:
+                t_next, x_prev, r_prev = 1.0, x_new, r_new
+            else:
+                x_prev, r_prev = xs, r
+            xs, r, t_mom = x_new, r_new, t_next
+            k += 1
+        zs = -(As.T @ r) - lam2 * xs
+        gap, primal, rel, _ = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
+        if rel <= tol:
+            break
+    return xs, k, rel, gap, primal, r
+
+
 def polish(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
            gap_every: int = 10, A_host: np.ndarray | None = None,
            b_host: np.ndarray | None = None) -> PolishResult:
     """Refine a solution to an f64-certified relative gap <= tol.
+
+    This variant computes the FULL-problem f64 certificate explicitly (two
+    chunked host passes over A).  ``polish_fast`` reaches the same
+    certificate via the safe-screening extension with zero full passes —
+    use it when A is large; this one remains the belt-and-braces oracle
+    (tests check they agree).
 
     Pass A_host/b_host (host copies of the problem data) when available —
     fetching a multi-GB design matrix back through a device transport can

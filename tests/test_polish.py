@@ -50,3 +50,44 @@ def test_polish_agrees_with_direct_f64_solve():
     )
     ref = solve(p64, "fista", tol=1e-10, max_iters=20000)
     np.testing.assert_allclose(pr.x, np.asarray(ref.x), atol=1e-7)
+
+
+@pytest.mark.parametrize("kind,ngroups,lam2", [
+    ("l1", 0, 0.0),
+    ("nonneg_l1", 0, 1e-2),
+    ("group_l2", 16, 0.0),
+])
+def test_polish_fast_matches_full_certificate(kind, ngroups, lam2):
+    """polish_fast (screening-extended certificate, zero full passes) must
+    agree with polish (explicit full-problem f64 certificate)."""
+    from convex_optimization_tpu.solvers.polish import polish_fast
+
+    inst = make_lasso_instance(jax.random.PRNGKey(8), 96, 256,
+                               penalty_kind=kind, ngroups=ngroups, lam2=lam2)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    fast = polish_fast(inst.problem, res.x, tol=1e-8)
+    full = polish(inst.problem, res.x, tol=1e-8)
+    assert fast.rel_gap <= 1e-8
+    np.testing.assert_allclose(fast.x, full.x, atol=1e-6)
+    # the extension theorem's claim: the fast result's FULL-problem f64
+    # certificate (recomputed explicitly) really is below tol
+    import dataclasses
+
+    p64 = dataclasses.replace(
+        inst.problem,
+        A=inst.problem.A.astype(jnp.float64),
+        b=inst.problem.b.astype(jnp.float64),
+    )
+    info = duality_gap(p64, jnp.asarray(fast.x))
+    assert float(info.rel_gap) <= 2e-8, float(info.rel_gap)
+
+
+def test_polish_fast_keeps_superset_of_support():
+    from convex_optimization_tpu.solvers.polish import polish_fast
+
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 128, 512)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    fast = polish_fast(inst.problem, res.x, tol=1e-9)
+    support = np.asarray(fast.x) != 0
+    assert fast.kept >= support.sum()
+    assert fast.rel_gap <= 1e-9
