@@ -6,8 +6,9 @@ size).  Two phases, both included in the reported time:
      under the driver): one kernel launch per Gauss-Seidel sweep, A
      streamed HBM->VMEM once per sweep as an error-free bf16 split, with
      stall detection at the f32 noise floor (ops/bcd_sweep_pallas.py);
-  2. f64 polish on the gap-safe-screened support (host), which certifies
-     rel_gap <= 1e-6 in float64 (solvers/polish.py).
+  2. support-restricted f64 polish (host f64 only on ~support-many
+     columns; device f32-with-margin dual certificate elsewhere), which
+     certifies rel_gap <= 1e-6 in float64 (solvers/polish.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <speedup>}
@@ -104,7 +105,7 @@ def main() -> None:
 
     from convex_optimization_tpu.core.datagen import make_lasso_instance_host
     from convex_optimization_tpu.api import solve
-    from convex_optimization_tpu.solvers.polish import polish_fast
+    from convex_optimization_tpu.solvers.polish import polish_support
     from convex_optimization_tpu.utils.metrics import effective_bandwidth
 
     # host-side generation (native threaded Gaussian fill) so the polish
@@ -118,20 +119,43 @@ def main() -> None:
     certified = res.converged and res.rel_gap <= tol
     polish_wall = 0.0
     final_gap = res.rel_gap
+    polish_note = ""
     if not certified:
-        pr = polish_fast(problem, res.x, tol=tol, A_host=A_np, b_host=b_np)
+        pr = polish_support(problem, res.x, tol=tol, A_host=A_np,
+                            b_host=b_np)
         polish_wall = pr.wall_time_s
         final_gap = pr.rel_gap
         certified = pr.rel_gap <= tol
+        polish_note = f" kept={pr.kept} f64_iters={pr.iterations}"
     if not certified:
         print(f"WARNING: not certified at tol={tol}; rel_gap={final_gap:.3e}",
               file=sys.stderr)
 
     total_wall = res.wall_time_s + polish_wall
 
-    # reference-style CPU baseline: same algorithm, same sweep count
-    per_sweep = numpy_bcd_sweep_seconds(A_np, b_np, lam1, block=128,
-                                        sweeps=base_sweeps)
+    # reference-style CPU baseline: same algorithm, same sweep count.
+    # The measurement is deterministic per instance and costs minutes at
+    # the headline size, so it is cached per (m, n, seed, host).
+    cache_path = os.environ.get("BENCH_BASELINE_CACHE",
+                                "/tmp/co_tpu_baseline_cache.json")
+    cache_key = f"{m}x{n}:seed42:block128:{os.uname().nodename}"
+    cache = {}
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except Exception:
+        pass
+    if cache_key in cache:
+        per_sweep = cache[cache_key]
+    else:
+        per_sweep = numpy_bcd_sweep_seconds(A_np, b_np, lam1, block=128,
+                                            sweeps=base_sweeps)
+        cache[cache_key] = per_sweep
+        try:
+            with open(cache_path, "w") as f:
+                json.dump(cache, f)
+        except Exception:
+            pass
     baseline_s = per_sweep * max(res.iterations, 1)
 
     print(json.dumps({
@@ -150,7 +174,7 @@ def main() -> None:
         f"bw={bw['achieved_gb_s']:.0f}GB/s "
         f"({100*bw['fraction_of_peak']:.0f}% of HBM peak) "
         f"compile={res.compile_time_s:.1f}s | polish: wall={polish_wall:.2f}s "
-        f"final_gap={final_gap:.2e} certified={certified} | "
+        f"final_gap={final_gap:.2e} certified={certified}{polish_note} | "
         f"baseline_per_sweep={per_sweep:.3f}s total={baseline_s:.1f}s | "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,

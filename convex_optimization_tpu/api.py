@@ -17,14 +17,13 @@ import jax.numpy as jnp
 
 from convex_optimization_tpu.core.problem import Problem
 from convex_optimization_tpu.solvers.common import SolverConfig
-# NOTE: import the submodules explicitly — the package re-exports functions
-# named `fista`/`bcd`, which shadow the module attributes on the package.
-import convex_optimization_tpu.solvers.fista as fista_mod  # noqa: E402
-import convex_optimization_tpu.solvers.bcd as bcd_mod  # noqa: E402
-import sys
+# importlib: the solvers package re-exports functions named `fista`/`bcd`
+# that shadow the submodule attributes, so a plain `from ... import fista`
+# would bind the jitted function, not the module
+import importlib
 
-fista_mod = sys.modules["convex_optimization_tpu.solvers.fista"]
-bcd_mod = sys.modules["convex_optimization_tpu.solvers.bcd"]
+fista_mod = importlib.import_module("convex_optimization_tpu.solvers.fista")
+bcd_mod = importlib.import_module("convex_optimization_tpu.solvers.bcd")
 from convex_optimization_tpu.ops.power_iter import (
     spectral_norm_sq,
     block_spectral_norms_sq,

@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", help="write a snapshot here after solving")
     p.add_argument("--resume", action="store_true",
                    help="warm-start from --checkpoint if it exists")
+    p.add_argument("--polish", action="store_true",
+                   help="finish with the f64 certification phase "
+                        "(solvers/polish.py polish_fast)")
+    p.add_argument("--stall-checks", type=int, default=0,
+                   help="exit after this many gap checks without a new "
+                        "best (f32 noise-floor detection)")
     p.add_argument("--f64", action="store_true",
                    help="float64 instance (CPU verification path)")
     p.add_argument("--profile", metavar="DIR",
@@ -116,6 +122,8 @@ def main(argv=None) -> int:
         method=args.method, tol=args.tol, max_iters=args.max_iters,
         gap_every=args.gap_every,
     )
+    if args.stall_checks:
+        solve_kw["stall_checks"] = args.stall_checks
     if screen:
         solve_kw["screen_every"] = 1
     if mesh_n:
@@ -182,6 +190,20 @@ def main(argv=None) -> int:
         "achieved_gb_s": bw["achieved_gb_s"],
         "fraction_of_hbm_peak": bw["fraction_of_peak"],
     }
+    x_out = res.x
+    if args.polish and not (res.converged and res.rel_gap <= args.tol):
+        from convex_optimization_tpu.solvers.polish import polish_fast
+
+        pr = polish_fast(problem, res.x, tol=args.tol)
+        out.update({
+            "polish_wall_s": pr.wall_time_s,
+            "certified_rel_gap": pr.rel_gap,
+            "certified": pr.rel_gap <= args.tol,
+            "polish_kept": pr.kept,
+        })
+        x_out = pr.x
+        print(f"[{name}] polish: gap={pr.rel_gap:.2e} kept={pr.kept} "
+              f"wall={pr.wall_time_s:.2f}s", file=sys.stderr)
     print(json.dumps(out))
 
     if args.jsonl:
@@ -190,7 +212,7 @@ def main(argv=None) -> int:
                                                  res.wall_time_s),
                           f, meta=out)
     if args.checkpoint:
-        ckpt.save_snapshot(args.checkpoint, jax.device_get(res.x),
+        ckpt.save_snapshot(args.checkpoint, jax.device_get(x_out),
                            float(jax.device_get(
                                jnp.asarray(problem.penalty.lam1))),
                            iteration=res.iterations, meta={"name": name})

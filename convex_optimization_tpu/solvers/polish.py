@@ -155,7 +155,7 @@ def _witness_and_colnorms(A, r, lam2, x, chunk_cols=2048,
 
 
 def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
-                gap_every: int = 10, A_host: np.ndarray | None = None,
+                gap_every: int = 4, A_host: np.ndarray | None = None,
                 b_host: np.ndarray | None = None) -> PolishResult:
     """Certified refinement with ZERO full-width f64 passes over A.
 
@@ -235,20 +235,30 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     keep, pen_s = pen.compact(keep)
     idx = np.nonzero(keep)[0]
 
+    # Lipschitz bound for the compact slab, computed ON DEVICE in f32 and
+    # inflated (f32 power-iteration error << 1%); 48 host passes over a
+    # GB-scale f64 slab would otherwise dominate this phase (measured)
+    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+
+    A_sub_dev = problem.A[:, jnp.asarray(idx)]
+    L64 = 1.05 * float(jax.device_get(spectral_norm_sq(A_sub_dev))) + lam2
+
     # --- host: f64 compact solve only (no full-width passes) ---
     if A_host is None:
-        As = np.asarray(jax.device_get(problem.A[:, jnp.asarray(idx)]),
-                        np.float64)
+        As = np.asarray(jax.device_get(A_sub_dev), np.float64)
     else:
         As = A_host[:, idx].astype(np.float64)
     b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
                    dtype=np.float64)
     xs = np.asarray(jax.device_get(x), np.float64)[idx]
 
-    xs, k, rel, gap, primal, r = _fista64(As, b, lam2, pen_s, xs, tol,
-                                          max_iters, gap_every)
+    cushion = float(np.sqrt(2.0 * tol * abs(primal0) * 1.5))
+    xs, sub_idx, k, rel, gap, primal, r = _fista64(
+        As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
+        rescreen_cushion=cushion, L=L64,
+    )
     x_full = np.zeros(n, dtype=np.float64)
-    x_full[idx] = xs
+    x_full[idx[sub_idx]] = xs
     return PolishResult(
         x=x_full, rel_gap=float(rel), gap=float(gap), primal=float(primal),
         kept=int(len(idx)), iterations=k,
@@ -256,18 +266,37 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     )
 
 
-def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every):
+def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
+             rescreen_cushion: float = 0.0, L: float | None = None):
     """f64 FISTA (adaptive restart) on the compacted problem.  Returns
-    (x, iters, rel_gap, gap, primal, r)."""
-    v = np.random.default_rng(0).standard_normal(As.shape[1])
-    v /= np.linalg.norm(v)
-    for _ in range(24):
-        u = As.T @ (As @ v)
-        v = u / max(np.linalg.norm(u), 1e-300)
-    u = As @ v
-    L = 1.05 * float(u @ u) + lam2
-    step = 1.0 / L
+    (x, keep_idx, iters, rel_gap, gap, primal, r) where keep_idx maps the
+    returned (possibly further-compacted) columns to the INPUT columns.
 
+    rescreen_cushion > 0 enables gap-safe RE-SCREENING at every check: the
+    radius shrinks with the gap, so columns drop fast as the solve tightens
+    and the per-iteration matvec cost collapses toward the true support.
+    The cushion (caller passes sqrt(2 * tol * P)-scale) keeps every screen
+    valid for the FINAL witness, preserving the certificate-extension
+    argument of polish_fast.
+    """
+    n_s = As.shape[1]
+    keep_idx = np.arange(n_s)
+    col_norms = np.sqrt((As * As).sum(axis=0) + lam2)
+
+    if L is None:
+        # host power iteration (only for small problems / the oracle
+        # path; polish_fast passes a device-computed L — 48 host passes
+        # over a GB-scale f64 matrix would dominate the whole phase)
+        v = np.random.default_rng(0).standard_normal(As.shape[1])
+        v /= np.linalg.norm(v)
+        for _ in range(24):
+            u = As.T @ (As @ v)
+            v = u / max(np.linalg.norm(u), 1e-300)
+        u = As @ v
+        L = 1.05 * float(u @ u) + lam2
+    # NOTE: dropping columns never increases the spectral norm, so this L
+    # stays a valid (and tight) bound across every re-screening shrink.
+    step = 1.0 / L
     x_prev = xs.copy()
     r = As @ xs - b
     r_prev = r.copy()
@@ -290,10 +319,149 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every):
             xs, r, t_mom = x_new, r_new, t_next
             k += 1
         zs = -(As.T @ r) - lam2 * xs
-        gap, primal, rel, _ = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
+        gap, primal, rel, alpha = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
         if rel <= tol:
             break
-    return xs, k, rel, gap, primal, r
+        if rescreen_cushion > 0.0 and pen_s.kind in ("l1", "nonneg_l1"):
+            radius = np.sqrt(2.0 * max(gap, 0.0)) + rescreen_cushion
+            w = alpha * zs
+            if pen_s.kind == "l1":
+                drop = np.abs(w) + radius * col_norms < pen_s.lam1
+            else:
+                drop = w + radius * col_norms < pen_s.lam1
+            if drop.any():
+                keep = ~drop
+                As = np.ascontiguousarray(As[:, keep])
+                xs, x_prev = xs[keep], x_prev[keep]
+                col_norms = col_norms[keep]
+                keep_idx = keep_idx[keep]
+                # residuals are x-independent of dropped zero coords only
+                # if they were zero — they are (provably, by the screen)
+                r = As @ xs - b
+                r_prev = r.copy()
+                t_mom = 1.0  # restart momentum after the geometry change
+                # step stays valid: L(subset) <= L (see note above)
+    return xs, keep_idx, k, rel, gap, primal, r
+
+
+def polish_support(problem, x, *, tol: float = 1e-6,
+                   max_iters: int = 20_000, gap_every: int = 4,
+                   A_host: np.ndarray | None = None,
+                   b_host: np.ndarray | None = None,
+                   max_expand: int = 3) -> PolishResult:
+    """Support-restricted certified refinement — the fast path for large n.
+
+    polish_fast's cost is the f64 solve over the gap-safe KEPT set, which
+    can be 5x the true support (measured: 26k kept vs ~5k support at
+    10k x 100k, 7 minutes of host f64 matvecs).  This variant instead:
+
+      1. restricts the f64 solve to the f32 solution's SUPPORT (plus any
+         later expansions) — typically a slight superset of the true
+         support, so the restricted optimum usually IS the optimum;
+      2. certifies on the FULL problem with a conservative dual norm:
+         exact f64 on the support, f32-with-deterministic-rounding-margin
+         on every other column (computed on DEVICE at HBM speed).  The
+         margined bound can only INFLATE the measured gap, so a
+         certificate that passes is sound;
+      3. if the certificate misses tol (support was too small), expands
+         the support with the columns whose margined dual witness is
+         closest to the boundary and repeats.
+
+    l1 / nonneg_l1 only (group prox makes per-column restriction awkward);
+    callers fall back to polish_fast otherwise.
+    """
+    import jax.numpy as jnp
+
+    if problem.penalty.kind not in ("l1", "nonneg_l1"):
+        return polish_fast(problem, x, tol=tol, max_iters=max_iters,
+                           A_host=A_host, b_host=b_host)
+
+    t0 = time.perf_counter()
+    m, n = problem.A.shape
+    lam1 = float(jax.device_get(jnp.asarray(problem.penalty.lam1)))
+    lam2 = float(problem.lam2)
+    pen = _NpPenalty(problem.penalty.kind, lam1, 0, None, n)
+    b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
+                   dtype=np.float64)
+
+    x_np = np.asarray(jax.device_get(x), np.float64)
+    S = np.nonzero(x_np)[0]
+    if len(S) == 0:
+        S = np.array([0])
+
+    # deterministic f32 margin for the device-side dual-witness pass
+    eps = float(np.finfo(np.float32).eps)
+    gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
+    cn = np.asarray(jax.device_get(problem.col_norms()), np.float64)
+    cn_safe = cn * (1.0 + 4 * eps) + 1e-12
+
+    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+
+    # L(A_S) <= L(A) for any column subset, so ONE fixed-shape device power
+    # iteration covers every expansion round (per-round subset shapes would
+    # each pay a fresh XLA compile through the relay — measured ~30-60s).
+    L64 = 1.05 * float(jax.device_get(spectral_norm_sq(problem.A))) + lam2
+
+    best = None
+    for _round in range(max_expand + 1):
+        if A_host is None:
+            As = np.asarray(
+                jax.device_get(problem.A[:, jnp.asarray(S)]), np.float64)
+        else:
+            As = A_host[:, S].astype(np.float64)
+        pen_s = _NpPenalty(pen.kind, lam1, 0, None, len(S))
+        xs = x_np[S]
+        xs, sub_idx, k, _, _, _, r = _fista64(
+            As, b, lam2, pen_s, xs, tol * 0.25, max_iters, gap_every,
+            L=L64)
+        S = S[sub_idx]
+
+        # FULL-problem certificate with the conservative dual norm:
+        #   exact f64 on S; device f32 + margin elsewhere
+        r_dev = jnp.asarray(r, jnp.float32)
+        z_f32 = np.asarray(jax.device_get(
+            -(problem.A.T @ r_dev)), np.float64)
+        if lam2 != 0.0:
+            xfull32 = np.zeros(n, np.float32)
+            xfull32[S] = xs.astype(np.float32)
+            z_f32 -= lam2 * xfull32
+        r_norm = float(np.linalg.norm(r))
+        margin = gamma * cn_safe * r_norm
+        ub = (np.abs(z_f32) + margin if pen.kind == "l1"
+              else np.maximum(z_f32 + margin, 0.0))
+        z_S = -(As[:, :] .T @ r) - lam2 * xs       # exact f64 on S
+        ub[S] = np.abs(z_S) if pen.kind == "l1" else np.maximum(z_S, 0.0)
+        dual_norm_ub = float(ub.max()) / lam1
+
+        alpha = 1.0 / max(1.0, dual_norm_ub)
+        aug = float(r @ r + lam2 * (xs @ xs))
+        primal = 0.5 * aug + float(pen_s.value(xs))
+        dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
+        gap = primal - dual
+        rel = gap / max(abs(primal), np.finfo(np.float64).tiny)
+        best = (xs.copy(), S.copy(), k, rel, gap, primal)
+        if rel <= tol:
+            break
+        # expand: columns whose margined witness crosses the threshold that
+        # would make them active, plus the nearest-to-boundary stragglers
+        outside = np.setdiff1d(np.nonzero(ub >= lam1 * (1.0 - 1e-9))[0], S)
+        if len(outside) == 0:
+            take = np.setdiff1d(np.argsort(-ub)[:2 * len(S)], S)[:len(S)]
+            if len(take) == 0:
+                break
+            outside = take
+        x_np = np.zeros(n, np.float64)
+        x_np[S] = xs
+        S = np.sort(np.concatenate([S, outside]))
+
+    xs, S, k, rel, gap, primal = best
+    x_full = np.zeros(n, dtype=np.float64)
+    x_full[S] = xs
+    return PolishResult(
+        x=x_full, rel_gap=float(rel), gap=float(gap), primal=float(primal),
+        kept=int(len(S)), iterations=k,
+        wall_time_s=time.perf_counter() - t0,
+    )
 
 
 def polish(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,

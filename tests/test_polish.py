@@ -91,3 +91,51 @@ def test_polish_fast_keeps_superset_of_support():
     support = np.asarray(fast.x) != 0
     assert fast.kept >= support.sum()
     assert fast.rel_gap <= 1e-9
+
+
+@pytest.mark.parametrize("kind,lam2", [("l1", 0.0), ("nonneg_l1", 1e-2)])
+def test_polish_support_certifies(kind, lam2):
+    from convex_optimization_tpu.solvers.polish import polish_support
+
+    inst = make_lasso_instance(jax.random.PRNGKey(12), 96, 512,
+                               penalty_kind=kind, lam2=lam2)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    ps = polish_support(inst.problem, res.x, tol=1e-8)
+    assert ps.rel_gap <= 1e-8, ps.rel_gap
+    # independent full f64 certificate
+    import dataclasses
+
+    p64 = dataclasses.replace(
+        inst.problem,
+        A=inst.problem.A.astype(jnp.float64),
+        b=inst.problem.b.astype(jnp.float64),
+    )
+    info = duality_gap(p64, jnp.asarray(ps.x))
+    assert float(info.rel_gap) <= 2e-8, float(info.rel_gap)
+    # agrees with the belt-and-braces oracle
+    full = polish(inst.problem, res.x, tol=1e-8)
+    np.testing.assert_allclose(ps.x, full.x, atol=1e-6)
+
+
+def test_polish_support_expands_from_truncated_start():
+    """Start from a deliberately TRUNCATED support (half the nonzeros
+    zeroed): the expansion loop must recover the rest and still certify."""
+    from convex_optimization_tpu.solvers.polish import polish_support
+
+    inst = make_lasso_instance(jax.random.PRNGKey(13), 96, 384)
+    res = solve(inst.problem, "fista", tol=1e-5, max_iters=4000)
+    x = np.asarray(res.x).copy()
+    nz = np.nonzero(x)[0]
+    x[nz[::2]] = 0.0          # drop half the support
+    ps = polish_support(inst.problem, jnp.asarray(x), tol=1e-8)
+    assert ps.rel_gap <= 1e-8, ps.rel_gap
+
+
+def test_polish_support_group_falls_back():
+    from convex_optimization_tpu.solvers.polish import polish_support
+
+    inst = make_lasso_instance(jax.random.PRNGKey(14), 64, 256,
+                               penalty_kind="group_l2", ngroups=16)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    ps = polish_support(inst.problem, res.x, tol=1e-8)
+    assert ps.rel_gap <= 1e-8

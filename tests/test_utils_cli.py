@@ -100,3 +100,13 @@ def test_cli_lambda_path(capsys):
     assert all(row["rel_gap"] <= 1e-4 for row in out["path"])
     # sparsity decreases along a descending path
     assert out["path"][0]["nnz"] <= out["path"][-1]["nnz"]
+
+
+def test_cli_polish_flag(capsys):
+    from convex_optimization_tpu.cli import main
+
+    rc = main(["--m", "96", "--n", "384", "--tol", "1e-7",
+               "--max-iters", "200", "--polish"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["certified"] and out["certified_rel_gap"] <= 1e-7
