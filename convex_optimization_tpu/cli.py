@@ -92,30 +92,58 @@ def main(argv=None) -> int:
     from convex_optimization_tpu.utils import checkpoint as ckpt
     from convex_optimization_tpu.utils import metrics as M
 
-    # resolve the instance spec
+    # resolve the instance spec.  When --polish is requested on a separable
+    # penalty, generate host-side (native runtime) and keep the host copies:
+    # the polish phase then never pulls GB-scale columns back through the
+    # device transport.
+    A_host = b_host = None
+
+    def _host_gen(m, n, penalty_kind, ngroups, lam1_frac, lam2):
+        from convex_optimization_tpu.core.datagen import (
+            make_lasso_instance_host,
+        )
+
+        return make_lasso_instance_host(
+            args.seed, m, n, penalty_kind=penalty_kind, ngroups=ngroups,
+            lam1_frac=lam1_frac, lam2=lam2,
+        )
+
     if args.config:
         cfg = BENCH_CONFIGS[args.config]
-        inst = cfg.instance(jax.random.PRNGKey(args.seed), ci=args.ci,
-                            dtype=jnp.float64 if args.f64 else jnp.float32)
         name = cfg.name + ("-ci" if args.ci else "")
         lambda_path = args.lambda_path or cfg.lambda_path
         screen = args.screen or cfg.screening
         mesh_n = args.mesh or 0
+        if args.polish and not args.f64 and not args.ci \
+                and cfg.penalty_kind in ("l1", "nonneg_l1"):
+            inst, A_host, b_host = _host_gen(
+                cfg.m, cfg.n, cfg.penalty_kind, cfg.ngroups,
+                cfg.lam1_frac, cfg.lam2)
+        else:
+            inst = cfg.instance(
+                jax.random.PRNGKey(args.seed), ci=args.ci,
+                dtype=jnp.float64 if args.f64 else jnp.float32)
     else:
         if not (args.m and args.n):
             print("either --config or both --m/--n are required",
                   file=sys.stderr)
             return 2
-        inst = make_lasso_instance(
-            jax.random.PRNGKey(args.seed), args.m, args.n,
-            penalty_kind=args.penalty or "l1", ngroups=args.ngroups,
-            lam1_frac=args.lam1_frac, lam2=args.lam2,
-            dtype=jnp.float64 if args.f64 else jnp.float32,
-        )
         name = f"custom-{args.m}x{args.n}"
         lambda_path = args.lambda_path
         screen = args.screen
         mesh_n = args.mesh
+        kind = args.penalty or "l1"
+        if args.polish and not args.f64 and kind in ("l1", "nonneg_l1"):
+            inst, A_host, b_host = _host_gen(
+                args.m, args.n, kind, args.ngroups, args.lam1_frac,
+                args.lam2)
+        else:
+            inst = make_lasso_instance(
+                jax.random.PRNGKey(args.seed), args.m, args.n,
+                penalty_kind=kind, ngroups=args.ngroups,
+                lam1_frac=args.lam1_frac, lam2=args.lam2,
+                dtype=jnp.float64 if args.f64 else jnp.float32,
+            )
 
     problem = inst.problem
     solve_kw: dict = dict(
@@ -147,7 +175,8 @@ def main(argv=None) -> int:
 
         scfg = SolverConfig(max_iters=args.max_iters, tol=args.tol,
                             gap_every=args.gap_every,
-                            screen_every=1 if screen else 0)
+                            screen_every=1 if screen else 0,
+                            stall_checks=args.stall_checks)
         with M.WallTimer() as t:
             pr = run_path(problem, scfg, path_len=lambda_path)
             jax.block_until_ready(pr.xs)
@@ -192,9 +221,10 @@ def main(argv=None) -> int:
     }
     x_out = res.x
     if args.polish and not (res.converged and res.rel_gap <= args.tol):
-        from convex_optimization_tpu.solvers.polish import polish_fast
+        from convex_optimization_tpu.solvers.polish import polish_support
 
-        pr = polish_fast(problem, res.x, tol=args.tol)
+        pr = polish_support(problem, res.x, tol=args.tol,
+                            A_host=A_host, b_host=b_host)
         out.update({
             "polish_wall_s": pr.wall_time_s,
             "certified_rel_gap": pr.rel_gap,

@@ -7,11 +7,21 @@ but dispatch.  Gap-safe screening masks sharpen as the path descends; the
 mask is carried forward (a coordinate screened at larger lam1 is NOT
 necessarily zero at smaller lam1, so masks are re-derived, not inherited —
 only the warm-start x is inherited).
+
+``compact=True`` additionally SHRINKS the problem per path point
+(SURVEY.md section 7.2 step 6): the warm start is a certified point for the
+new lam1, so a gap-safe screen at it discards most columns at the sparse
+(high-lambda) end of the path; the solve then runs on the compacted columns
+only — an actual FLOP reduction, unlike in-solver masking.  Kept counts are
+bucketed (padded up with extra columns) so re-jits amortize across path
+points of similar active size.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +37,15 @@ class PathResult(NamedTuple):
     xs: jax.Array           # (path_len, n) solutions
     gaps: jax.Array         # (path_len,) final relative gaps
     iters: jax.Array        # (path_len,) iterations used
+    kept: jax.Array | None = None   # (path_len,) columns solved per point
+                                    # (compact=True only; else None)
+
+
+def _bucket(k: int, n: int) -> int:
+    """Round the kept count up to a re-jit bucket (smaller buckets for
+    small problems so compaction still bites)."""
+    bucket = min(512, max(64, n // 8))
+    return min(n, -(-max(k, 1) // bucket) * bucket)
 
 
 def lambda_path(
@@ -36,34 +55,91 @@ def lambda_path(
     path_len: int = 10,
     lam_min_frac: float = 0.01,
     lambdas: jax.Array | None = None,
+    compact: bool = False,
 ) -> PathResult:
-    """Warm-started path with the jitted FISTA solver (one compilation)."""
+    """Warm-started path with the jitted FISTA solver."""
     if lambdas is None:
         lmax = lambda_max(problem.A, problem.b, problem.penalty)
         # start just below lam_max (at lam_max the solution is exactly 0)
         lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
     lambdas = jnp.asarray(lambdas)
 
-    L_total = None
-    xs, gaps, iters = [], [], []
-    x_warm = None
-    col_norms = problem.col_norms() if cfg.screen_every > 0 else None
     from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
 
+    col_norms = problem.col_norms() if (cfg.screen_every > 0 or compact) \
+        else None
     L_total = spectral_norm_sq(problem.A) + problem.lam2
+
+    xs, gaps, iters, kept = [], [], [], []
+    x_warm = None
+
+    if not compact:
+        for lam in lambdas:
+            p = problem.with_lam1(lam)
+            state = init_state(p, x_warm, cfg)
+            state = fista(p, L_total, state, cfg, col_norms)
+            x_warm = state.x
+            xs.append(state.x)
+            gaps.append(state.rel_gap)
+            iters.append(state.k)
+        return PathResult(lambdas=lambdas, xs=jnp.stack(xs),
+                          gaps=jnp.stack(gaps), iters=jnp.stack(iters))
+
+    # --- compacting path ---
+    from convex_optimization_tpu.core.objective import duality_gap, dual_witness
+
+    n = problem.n
+    if problem.penalty.kind == "group_l2":
+        raise NotImplementedError(
+            "compact=True supports separable penalties (l1 / nonneg_l1); "
+            "run group lasso paths with compact=False")
+    x_warm = jnp.zeros((n,), problem.dtype)
+    eps = float(np.finfo(np.float32).eps)
+    m = problem.m
+    gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
 
     for lam in lambdas:
         p = problem.with_lam1(lam)
-        state = init_state(p, x_warm, cfg)
-        state = fista(p, L_total, state, cfg, col_norms)
-        x_warm = state.x
-        xs.append(state.x)
+        # gap-safe screen AT THE WARM START for this lam, with f32
+        # inflation (see solvers/polish.py for the bound)
+        r = p.residual(x_warm)
+        z = dual_witness(p, x_warm, r)
+        info = duality_gap(p, x_warm, r, z=z)
+        r_norm = jnp.linalg.norm(r)
+        gap_safe = 1.25 * jnp.abs(info.gap) + 4 * eps * jnp.abs(info.primal)
+        # cushion covers the SOLVED point's witness too (the polish_fast
+        # extension argument), so the compact certificate stays valid for
+        # the full problem at this lam
+        radius = (jnp.sqrt(2.0 * gap_safe)
+                  + jnp.sqrt(2.0 * cfg.tol * jnp.abs(info.primal) * 1.5))
+        margin = gamma * col_norms * r_norm
+        witness = jnp.abs(info.alpha * z) + info.alpha * margin
+        keep = ~(witness + radius * col_norms < lam)
+        keep_np = np.asarray(jax.device_get(keep))
+        idx = np.nonzero(keep_np)[0]
+        k_b = _bucket(len(idx), n)
+        if k_b > len(idx):     # pad the bucket with arbitrary extra columns
+            extra = np.setdiff1d(np.arange(n), idx)[:k_b - len(idx)]
+            idx = np.sort(np.concatenate([idx, extra]))
+        idx_dev = jnp.asarray(idx)
+
+        import dataclasses
+
+        p_small = dataclasses.replace(
+            p, A=p.A[:, idx_dev],
+            penalty=p.penalty.with_lam1(lam),
+        )
+        state = init_state(p_small, x_warm[idx_dev], cfg)
+        state = fista(p_small, L_total, state, cfg,
+                      col_norms[idx_dev] if col_norms is not None else None)
+        x_full = jnp.zeros((n,), problem.dtype).at[idx_dev].set(state.x)
+        x_warm = x_full
+        xs.append(x_full)
         gaps.append(state.rel_gap)
         iters.append(state.k)
+        kept.append(len(idx))
 
     return PathResult(
-        lambdas=lambdas,
-        xs=jnp.stack(xs),
-        gaps=jnp.stack(gaps),
-        iters=jnp.stack(iters),
+        lambdas=lambdas, xs=jnp.stack(xs), gaps=jnp.stack(gaps),
+        iters=jnp.stack(iters), kept=jnp.asarray(kept),
     )

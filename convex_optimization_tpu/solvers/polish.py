@@ -431,19 +431,36 @@ def polish_support(problem, x, *, tol: float = 1e-6,
               else np.maximum(z_f32 + margin, 0.0))
         z_S = -(As[:, :] .T @ r) - lam2 * xs       # exact f64 on S
         ub[S] = np.abs(z_S) if pen.kind == "l1" else np.maximum(z_S, 0.0)
-        dual_norm_ub = float(ub.max()) / lam1
 
-        alpha = 1.0 / max(1.0, dual_norm_ub)
-        aug = float(r @ r + lam2 * (xs @ xs))
-        primal = 0.5 * aug + float(pen_s.value(xs))
-        dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
-        gap = primal - dual
-        rel = gap / max(abs(primal), np.finfo(np.float64).tiny)
+        def certify(ub_now):
+            alpha = 1.0 / max(1.0, float(ub_now.max()) / lam1)
+            aug = float(r @ r + lam2 * (xs @ xs))
+            primal = 0.5 * aug + float(pen_s.value(xs))
+            dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
+            gap = primal - dual
+            rel = gap / max(abs(primal), np.finfo(np.float64).tiny)
+            return rel, gap, primal
+
+        rel, gap, primal = certify(ub)
+        if rel > tol:
+            # the f32 margin may be the only thing pushing near-boundary
+            # columns over: replace their witnesses with exact f64 values
+            # (a host gather of just those columns) before expanding
+            near = np.setdiff1d(
+                np.nonzero(ub >= lam1 * (1.0 - 1e-6))[0], S)
+            if len(near):
+                A_near = (np.asarray(jax.device_get(
+                              problem.A[:, jnp.asarray(near)]), np.float64)
+                          if A_host is None
+                          else A_host[:, near].astype(np.float64))
+                z_near = -(A_near.T @ r)
+                ub[near] = (np.abs(z_near) if pen.kind == "l1"
+                            else np.maximum(z_near, 0.0))
+                rel, gap, primal = certify(ub)
         best = (xs.copy(), S.copy(), k, rel, gap, primal)
         if rel <= tol:
             break
-        # expand: columns whose margined witness crosses the threshold that
-        # would make them active, plus the nearest-to-boundary stragglers
+        # expand with the genuinely-violating / nearest-boundary columns
         outside = np.setdiff1d(np.nonzero(ub >= lam1 * (1.0 - 1e-9))[0], S)
         if len(outside) == 0:
             take = np.setdiff1d(np.argsort(-ub)[:2 * len(S)], S)[:len(S)]

@@ -85,3 +85,24 @@ def test_warm_start_faster(inst):
     cold = solve(inst.problem, "fista", tol=1e-8, max_iters=10000)
     warm = solve(inst.problem, "fista", x0=cold.x, tol=1e-8, max_iters=10000)
     assert warm.iterations <= max(cold.iterations // 4, 2)
+
+
+def test_lambda_path_compact_matches_plain():
+    """Per-lambda screening compaction (SURVEY.md 7.2 step 6) must not
+    change the path solutions."""
+    import numpy as np
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(17), 96, 384)
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=10)
+    plain = lambda_path(inst.problem, cfg, path_len=6)
+    comp = lambda_path(inst.problem, cfg, path_len=6, compact=True)
+    np.testing.assert_allclose(np.asarray(comp.xs), np.asarray(plain.xs),
+                               atol=5e-5)
+    assert comp.kept is not None
+    # compaction really shrinks the problem at the sparse end
+    assert int(comp.kept[0]) < inst.problem.n
+    # f32 floor: path points reach the same grade as the plain path
+    assert all(float(g) <= 1e-4 for g in np.asarray(comp.gaps))
