@@ -348,7 +348,7 @@ def polish_support(problem, x, *, tol: float = 1e-6,
                    max_iters: int = 20_000, gap_every: int = 4,
                    A_host: np.ndarray | None = None,
                    b_host: np.ndarray | None = None,
-                   max_expand: int = 3) -> PolishResult:
+                   max_expand: int = 3, verbose: bool = False) -> PolishResult:
     """Support-restricted certified refinement — the fast path for large n.
 
     polish_fast's cost is the f64 solve over the gap-safe KEPT set, which
@@ -400,7 +400,17 @@ def polish_support(problem, x, *, tol: float = 1e-6,
     # L(A_S) <= L(A) for any column subset, so ONE fixed-shape device power
     # iteration covers every expansion round (per-round subset shapes would
     # each pay a fresh XLA compile through the relay — measured ~30-60s).
+    def tick(label, t_prev):
+        now = time.perf_counter()
+        if verbose:
+            import sys
+
+            print(f"  polish[{label}] +{now - t_prev:.2f}s", file=sys.stderr)
+        return now
+
+    tp = tick("setup", t0)
     L64 = 1.05 * float(jax.device_get(spectral_norm_sq(problem.A))) + lam2
+    tp = tick("device-L", tp)
 
     best = None
     for _round in range(max_expand + 1):
@@ -409,18 +419,21 @@ def polish_support(problem, x, *, tol: float = 1e-6,
                 jax.device_get(problem.A[:, jnp.asarray(S)]), np.float64)
         else:
             As = A_host[:, S].astype(np.float64)
+        tp = tick(f"gather(|S|={len(S)})", tp)
         pen_s = _NpPenalty(pen.kind, lam1, 0, None, len(S))
         xs = x_np[S]
         xs, sub_idx, k, _, _, _, r = _fista64(
             As, b, lam2, pen_s, xs, tol * 0.25, max_iters, gap_every,
             L=L64)
         S = S[sub_idx]
+        tp = tick(f"fista64(k={k})", tp)
 
         # FULL-problem certificate with the conservative dual norm:
         #   exact f64 on S; device f32 + margin elsewhere
         r_dev = jnp.asarray(r, jnp.float32)
         z_f32 = np.asarray(jax.device_get(
             -(problem.A.T @ r_dev)), np.float64)
+        tp = tick("device-witness", tp)
         if lam2 != 0.0:
             xfull32 = np.zeros(n, np.float32)
             xfull32[S] = xs.astype(np.float32)
@@ -454,6 +467,7 @@ def polish_support(problem, x, *, tol: float = 1e-6,
                           if A_host is None
                           else A_host[:, near].astype(np.float64))
                 z_near = -(A_near.T @ r)
+                tp = tick(f"near-exact(|near|={len(near)})", tp)
                 ub[near] = (np.abs(z_near) if pen.kind == "l1"
                             else np.maximum(z_near, 0.0))
                 rel, gap, primal = certify(ub)
