@@ -154,11 +154,25 @@ def _sweep_kernel(kind: str, gsize: int, B: int,
     elif kind == "nonneg_l1":
         x_new = jnp.maximum(v - tl, 0.0)
     elif kind == "group_l2":
-        vg = v.reshape(B // gsize, gsize)
-        gn = jnp.sqrt(jnp.sum(vg * vg, axis=1, keepdims=True))
-        w = w_ref[pl.ds(j, 1), :].reshape(B // gsize, 1)
-        scale = jnp.maximum(0.0, 1.0 - tl * w / jnp.maximum(gn, 1e-30))
-        x_new = (vg * scale).reshape(1, B)
+        # Mosaic cannot reshape (1, B) across sublanes; compute group norms
+        # with tiny one-hot matmuls instead (B x gpb indicator M):
+        #   gn2 = (v*v) @ M ; per-lane scale = scale_g @ M^T
+        gpb = B // gsize
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (B, gpb), 0) // gsize
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (B, gpb), 1)
+        M = (lane_g == gcol).astype(jnp.float32)
+        gn2 = jax.lax.dot_general(
+            v * v, M, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (1, gpb)
+        gn = jnp.sqrt(gn2)
+        w = w_ref[pl.ds(j, 1), :]                          # (1, gpb)
+        scale_g = jnp.maximum(0.0, 1.0 - tl * w / jnp.maximum(gn, 1e-30))
+        scale = jax.lax.dot_general(
+            scale_g, M, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (1, B)
+        x_new = v * scale
     else:
         raise ValueError(f"unknown penalty kind {kind!r}")
 

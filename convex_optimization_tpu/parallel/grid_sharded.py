@@ -1,0 +1,157 @@
+"""2-D sharded FISTA: A tiled over a ('rows', 'blocks') mesh — the DP x TP
+composition (SURVEY.md section 2.2's strategies combined).
+
+Each chip owns an (m/R, n/C) tile of A, the matching slice of b (rows) and
+of x (blocks).  Per iteration exactly TWO collectives, each over ONE mesh
+axis and of LOCAL size:
+
+    g_loc = psum_rows(A_loc^T r_loc) + lam2 * y_loc     # (n/C)-vector
+    x+    = prox(y - g/L)                               # local
+    r+    = psum_blocks(A_loc x+_loc) - b_loc           # (m/R)-vector
+
+so both the residual and the gradient consensus shrink as the mesh grows in
+the other axis — the layout for matrices too large for one chip in BOTH
+dimensions (config 5 at multi-host scale).  The duality-gap monitor reduces
+partials over the correct single axes (psum over rows for <r, b> and
+||r||^2; psum over blocks for g(x), ||x||^2, nnz; pmax over blocks for the
+dual norm — z is already rows-replicated after its psum).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from convex_optimization_tpu.core.objective import gap_from_parts
+from convex_optimization_tpu.core.problem import Problem
+from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
+from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
+
+
+def make_grid_mesh(rows: int, cols: int, devices=None):
+    """(rows x cols) mesh with axes ('rows', 'blocks')."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < rows * cols:
+        raise ValueError(f"need {rows * cols} devices, have {len(devices)}")
+    return jax.sharding.Mesh(
+        np.asarray(devices[:rows * cols]).reshape(rows, cols),
+        (ROWS, BLOCKS),
+    )
+
+
+def _state_specs_grid() -> SolveState:
+    return SolveState(
+        x=P(BLOCKS), r=P(ROWS), x_prev=P(BLOCKS), r_prev=P(ROWS),
+        t_mom=P(), k=P(), rel_gap=P(), gap=P(), primal=P(),
+        keep_mask=P(BLOCKS),
+        history=History(*([P()] * 7)),
+        best_rel_gap=P(), stall=P(),
+    )
+
+
+def _gap_check_grid(pen, lam2, A_loc, b_loc, s: SolveState, cn_loc,
+                    screen: bool) -> SolveState:
+    x_loc, r_loc = s.x, s.r
+    z_loc = -lax.psum(A_loc.T @ r_loc, ROWS) - lam2 * x_loc
+    dn = lax.pmax(pen.dual_norm(z_loc), BLOCKS)
+    x_sq = lax.psum(jnp.vdot(x_loc, x_loc), BLOCKS)
+    g_val = lax.psum(pen.value(x_loc), BLOCKS)
+    info = gap_from_parts(
+        rho_dot_b=-lax.psum(jnp.vdot(r_loc, b_loc), ROWS),
+        rho_aug_sq=lax.psum(jnp.vdot(r_loc, r_loc), ROWS) + lam2 * x_sq,
+        g_value=g_val,
+        dual_norm_value=dn,
+    )
+    nnz = lax.psum(jnp.sum(x_loc != 0), BLOCKS).astype(jnp.int32)
+    hist = s.history.record(s.k, info.primal, info.dual, info.gap,
+                            info.rel_gap, nnz)
+    keep = s.keep_mask
+    if screen:
+        keep = keep & pen.screen_keep(z_loc, info.alpha, info.gap, cn_loc)
+    improved = info.rel_gap < s.best_rel_gap
+    return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
+                      history=hist, keep_mask=keep,
+                      best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
+                      stall=jnp.where(improved, 0, s.stall + 1))
+
+
+def grid_sharded_fista(problem: Problem, L_total, state0: SolveState,
+                       cfg: SolverConfig, mesh: jax.sharding.Mesh,
+                       col_norms: jax.Array | None = None):
+    """Returns (jitted_fn, args); see module docstring for the layout."""
+    n_cols = mesh.shape[BLOCKS]
+    pen = problem.penalty
+    lam2 = problem.lam2
+    kind = pen.kind
+    screen = cfg.screen_every > 0
+    if col_norms is None:
+        col_norms = (problem.col_norms() if screen
+                     else jnp.zeros(problem.n, problem.dtype))
+    weights = pen.weights
+    if kind == "group_l2" and weights is None:
+        weights = jnp.ones((pen.ngroups,), problem.dtype)
+    w_spec = P(BLOCKS) if kind == "group_l2" else P()
+    if weights is None:
+        weights = jnp.zeros((1,), problem.dtype)
+
+    from convex_optimization_tpu.parallel.sharded import _local_penalty
+
+    def local_solve(A_loc, b_loc, lam1, weights_loc, L_tot, cn_loc,
+                    s: SolveState) -> SolveState:
+        pen_loc = _local_penalty(pen, n_cols, lam1, weights_loc
+                                 if kind == "group_l2" else None)
+
+        def step(s: SolveState) -> SolveState:
+            x, r, x_prev, r_prev, t = s.x, s.r, s.x_prev, s.r_prev, s.t_mom
+            if cfg.momentum:
+                t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                beta = (t - 1.0) / t_next
+                y = x + beta * (x - x_prev)
+                r_y = r + beta * (r - r_prev)
+            else:
+                t_next, y, r_y = t, x, r
+            g = lax.psum(A_loc.T @ r_y, ROWS) + lam2 * y
+            stp = 1.0 / L_tot
+            x_new = pen_loc.prox(y - stp * g, stp)
+            x_new = jnp.where(s.keep_mask, x_new, 0.0)
+            r_new = lax.psum(A_loc @ x_new, BLOCKS) - b_loc
+            if cfg.momentum and cfg.adaptive_restart:
+                dot = lax.psum(jnp.vdot(y - x_new, x_new - x), BLOCKS)
+                do_restart = dot > 0.0
+                t_next = jnp.where(do_restart, 1.0, t_next)
+                x_prev_out = jnp.where(do_restart, x_new, x)
+                r_prev_out = jnp.where(do_restart, r_new, r)
+            else:
+                x_prev_out, r_prev_out = x, r
+            return s._replace(x=x_new, r=r_new, x_prev=x_prev_out,
+                              r_prev=r_prev_out, t_mom=t_next, k=s.k + 1)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.gap_every, lambda _, st: step(st), s)
+            return _gap_check_grid(pen_loc, lam2, A_loc, b_loc, s, cn_loc,
+                                   screen)
+
+        def cond(s):
+            go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            if cfg.stall_checks > 0:
+                go = go & (s.stall < cfg.stall_checks)
+            return go
+
+        s = _gap_check_grid(pen_loc, lam2, A_loc, b_loc, s, cn_loc, screen)
+        return lax.while_loop(cond, body, s)
+
+    sspec = _state_specs_grid()
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(ROWS, BLOCKS), P(ROWS), P(), w_spec, P(), P(BLOCKS),
+                  sspec),
+        out_specs=sspec,
+    )
+    args = (problem.A, problem.b, pen.lam1, weights, L_total, col_norms,
+            state0)
+    return jax.jit(f), args

@@ -274,6 +274,55 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
     return jax.jit(f), args
 
 
+def _solve_grid_sharded(problem: Problem, method: str,
+                        mesh: jax.sharding.Mesh, x0, cfg: SolverConfig):
+    """DP x TP dispatch: A tiled over ('rows', 'blocks')."""
+    from convex_optimization_tpu.api import Result
+    from convex_optimization_tpu.solvers.fista import init_state
+    from convex_optimization_tpu.parallel.grid_sharded import (
+        grid_sharded_fista,
+        _state_specs_grid,
+    )
+
+    if method not in ("fista", "ista"):
+        raise ValueError(f"grid sharding supports fista/ista, got {method!r}")
+    R, C = mesh.shape[ROWS], mesh.shape[BLOCKS]
+    if problem.m % R != 0 or problem.n % C != 0:
+        raise ValueError(
+            f"(m={problem.m}, n={problem.n}) must divide over ({R}, {C})")
+    if problem.penalty.kind == "group_l2" \
+            and problem.penalty.ngroups % C != 0:
+        raise ValueError("ngroups must divide over block shards")
+
+    A = jax.device_put(problem.A, NamedSharding(mesh, P(ROWS, BLOCKS)))
+    b = jax.device_put(problem.b, NamedSharding(mesh, P(ROWS)))
+    problem = dataclasses.replace(problem, A=A, b=b)
+
+    def make_state(xinit):
+        s = init_state(problem, xinit, cfg)
+        return jax.device_put(
+            s,
+            jax.tree.map(lambda sp: NamedSharding(mesh, sp),
+                         _state_specs_grid(),
+                         is_leaf=lambda v: isinstance(v, P)),
+        )
+
+    L_total = spectral_norm_sq(problem.A) + problem.lam2
+    jfn, args = grid_sharded_fista(problem, L_total, make_state(x0), cfg,
+                                   mesh)
+    final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
+    iters = int(final.k)
+    return Result(
+        x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
+        primal=float(final.primal), iterations=iters,
+        converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
+        compile_time_s=compile_s,
+        iters_per_sec=iters / wall if wall > 0 else float("inf"),
+        history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
+        method=f"grid_sharded_{method}", config=cfg,
+    )
+
+
 def _solve_row_sharded(problem: Problem, method: str,
                        mesh: jax.sharding.Mesh, x0, cfg: SolverConfig):
     """DP-analog dispatch: rows of A and b sharded over axis 'rows'."""
@@ -373,6 +422,8 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 
+    if ROWS in mesh.axis_names and BLOCKS in mesh.axis_names:
+        return _solve_grid_sharded(problem, method, mesh, x0, cfg)
     if ROWS in mesh.axis_names:
         return _solve_row_sharded(problem, method, mesh, x0, cfg)
 
