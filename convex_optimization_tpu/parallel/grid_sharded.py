@@ -51,6 +51,7 @@ def _state_specs_grid() -> SolveState:
         keep_mask=P(BLOCKS),
         history=History(*([P()] * 7)),
         best_rel_gap=P(), stall=P(),
+        x_best=P(BLOCKS), best_gap=P(), best_primal=P(),
     )
 
 
@@ -77,7 +78,11 @@ def _gap_check_grid(pen, lam2, A_loc, b_loc, s: SolveState, cn_loc,
     return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
                       history=hist, keep_mask=keep,
                       best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
-                      stall=jnp.where(improved, 0, s.stall + 1))
+                      stall=jnp.where(improved, 0, s.stall + 1),
+                      x_best=jnp.where(improved, x_loc, s.x_best),
+                      best_gap=jnp.where(improved, info.gap, s.best_gap),
+                      best_primal=jnp.where(improved, info.primal,
+                                            s.best_primal))
 
 
 def grid_sharded_fista(problem: Problem, L_total, state0: SolveState,

@@ -37,6 +37,7 @@ def _state_specs_rows() -> SolveState:
         keep_mask=P(),
         history=History(*([P()] * 7)),
         best_rel_gap=P(), stall=P(),
+        x_best=P(), best_gap=P(), best_primal=P(),
     )
 
 
@@ -61,7 +62,11 @@ def _gap_check_rows(pen, lam2, A_loc, b_loc, s: SolveState, col_norms,
     return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
                       history=hist, keep_mask=keep,
                       best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
-                      stall=jnp.where(improved, 0, s.stall + 1))
+                      stall=jnp.where(improved, 0, s.stall + 1),
+                      x_best=jnp.where(improved, x, s.x_best),
+                      best_gap=jnp.where(improved, info.gap, s.best_gap),
+                      best_primal=jnp.where(improved, info.primal,
+                                            s.best_primal))
 
 
 def sharded_fista_rows(problem: Problem, L_total, state0: SolveState,

@@ -55,6 +55,7 @@ def _state_specs() -> SolveState:
         keep_mask=P(BLOCKS),
         history=History(*([P()] * 7)),
         best_rel_gap=P(), stall=P(),
+        x_best=P(BLOCKS), best_gap=P(), best_primal=P(),
     )
 
 
@@ -91,7 +92,11 @@ def _gap_check_local(pen_loc: Penalty, lam2, A_loc, b, s: SolveState,
     return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
                       history=hist, keep_mask=keep,
                       best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
-                      stall=jnp.where(improved, 0, s.stall + 1))
+                      stall=jnp.where(improved, 0, s.stall + 1),
+                      x_best=jnp.where(improved, x_loc, s.x_best),
+                      best_gap=jnp.where(improved, info.gap, s.best_gap),
+                      best_primal=jnp.where(improved, info.primal,
+                                            s.best_primal))
 
 
 def sharded_fista(problem: Problem, L_total, state0: SolveState,
@@ -313,9 +318,10 @@ def _solve_grid_sharded(problem: Problem, method: str,
     final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
     iters = int(final.k)
     return Result(
-        x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
-        primal=float(final.primal), iterations=iters,
-        converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
+        x=final.x_best, gap=float(final.best_gap),
+        rel_gap=float(final.best_rel_gap),
+        primal=float(final.best_primal), iterations=iters,
+        converged=bool(final.best_rel_gap <= cfg.tol), wall_time_s=wall,
         compile_time_s=compile_s,
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
@@ -363,9 +369,10 @@ def _solve_row_sharded(problem: Problem, method: str,
     final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
     iters = int(final.k)
     return Result(
-        x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
-        primal=float(final.primal), iterations=iters,
-        converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
+        x=final.x_best, gap=float(final.best_gap),
+        rel_gap=float(final.best_rel_gap),
+        primal=float(final.best_primal), iterations=iters,
+        converged=bool(final.best_rel_gap <= cfg.tol), wall_time_s=wall,
         compile_time_s=compile_s,
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),
@@ -467,9 +474,10 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
     final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
     iters = int(final.k)
     return Result(
-        x=final.x, gap=float(final.gap), rel_gap=float(final.rel_gap),
-        primal=float(final.primal), iterations=iters,
-        converged=bool(final.rel_gap <= cfg.tol), wall_time_s=wall,
+        x=final.x_best, gap=float(final.best_gap),
+        rel_gap=float(final.best_rel_gap),
+        primal=float(final.best_primal), iterations=iters,
+        converged=bool(final.best_rel_gap <= cfg.tol), wall_time_s=wall,
         compile_time_s=compile_s,
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=jax.tree.map(lambda a: jax.device_get(a), final.history).trimmed(),

@@ -75,6 +75,9 @@ class ADMMState(NamedTuple):
     history: History
     best_rel_gap: jax.Array
     stall: jax.Array
+    x_best: jax.Array
+    best_gap: jax.Array
+    best_primal: jax.Array
 
 
 def admm_setup(problem: Problem) -> ADMMFactors:
@@ -120,6 +123,7 @@ def init_state(problem: Problem, x0: jax.Array | None,
         rel_gap=big, gap=big, primal=big, r_prim=big, r_dual=big,
         history=History.empty(cfg.max_checks, dtype),
         best_rel_gap=big, stall=jnp.zeros((), jnp.int32),
+        x_best=x, best_gap=big, best_primal=big,
     )
 
 
@@ -143,7 +147,12 @@ def _gap_check(problem: Problem, state: ADMMState) -> ADMMState:
                           primal=info.primal, history=hist,
                           best_rel_gap=jnp.minimum(info.rel_gap,
                                                    state.best_rel_gap),
-                          stall=jnp.where(improved, 0, state.stall + 1))
+                          stall=jnp.where(improved, 0, state.stall + 1),
+                          x_best=jnp.where(improved, z, state.x_best),
+                          best_gap=jnp.where(improved, info.gap,
+                                             state.best_gap),
+                          best_primal=jnp.where(improved, info.primal,
+                                                state.best_primal))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -190,4 +199,4 @@ def admm(problem: Problem, fac: ADMMFactors, state: ADMMState,
     state = lax.while_loop(cond, body, state)
     # the certified (sparse, feasible) iterate is z — expose it as the
     # solution so api.Result.x is the point the gap certificate refers to
-    return state._replace(x=state.z)
+    return state._replace(x=state.z)  # x_best already tracks the best z

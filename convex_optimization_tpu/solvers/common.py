@@ -103,6 +103,9 @@ class SolveState(NamedTuple):
     history: History
     best_rel_gap: jax.Array  # best rel_gap seen at any check
     stall: jax.Array         # consecutive checks without improvement (int32)
+    x_best: jax.Array        # iterate at the best check (returned on stall:
+    best_gap: jax.Array      # the LAST iterate of an oscillating f32 solve
+    best_primal: jax.Array   # can be 2x further from optimum than the best)
 
 
 def count_nnz(x: jax.Array) -> jax.Array:

@@ -96,6 +96,9 @@ def _check_and_record(problem: Problem, state: SolveState, cfg: SolverConfig,
         history=hist, keep_mask=keep,
         best_rel_gap=jnp.minimum(info.rel_gap, state.best_rel_gap),
         stall=jnp.where(improved, 0, state.stall + 1),
+        x_best=jnp.where(improved, x, state.x_best),
+        best_gap=jnp.where(improved, info.gap, state.best_gap),
+        best_primal=jnp.where(improved, info.primal, state.best_primal),
     )
 
 
@@ -115,6 +118,7 @@ def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,
         keep_mask=keep_mask,
         history=History.empty(cfg.max_checks, dtype),
         best_rel_gap=big, stall=jnp.zeros((), jnp.int32),
+        x_best=x, best_gap=big, best_primal=big,
     )
 
 
