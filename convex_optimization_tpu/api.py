@@ -89,20 +89,25 @@ def solve(
     x0: Optional[jax.Array] = None,
     cfg: Optional[SolverConfig] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    certify: bool = False,
     **cfg_overrides: Any,
 ) -> Result:
     """Solve a composite problem.
     method: 'fista' | 'ista' | 'bcd' | 'bcd_pallas' | 'admm'.
 
-    When ``mesh`` is given, the column-sharded distributed solver is used
-    (see parallel/); otherwise everything runs on the default device.
-    Extra kwargs override SolverConfig fields (e.g. tol=1e-8, max_iters=5000).
+    When ``mesh`` is given, the sharded solver matching the mesh's axis
+    names is used (see parallel/); otherwise everything runs on the default
+    device.  ``certify=True`` finishes with the f64 polish phase whenever
+    the f32 solve stalls above tol, so Result.rel_gap is an f64-grade
+    certificate (solvers/polish.py).  Extra kwargs override SolverConfig
+    fields (e.g. tol=1e-8, max_iters=5000).
     """
     if mesh is not None:
         from convex_optimization_tpu.parallel.sharded import solve_sharded
 
-        return solve_sharded(problem, method=method, mesh=mesh, x0=x0,
-                             cfg=cfg, **cfg_overrides)
+        res = solve_sharded(problem, method=method, mesh=mesh, x0=x0,
+                            cfg=cfg, **cfg_overrides)
+        return _maybe_certify(problem, res, certify)
 
     if cfg is None:
         cfg = SolverConfig()
@@ -115,6 +120,7 @@ def solve(
 
     col_norms = problem.col_norms() if cfg.screen_every > 0 else None
     orig_n = problem.n  # the bcd_pallas branch may zero-pad columns
+    user_problem = problem  # unpadded view, for the certify phase
 
     # Each branch yields the jitted fn, a make_state builder (so the timed
     # run can start from fresh input bytes), and the arg tuple shape.
@@ -200,17 +206,42 @@ def solve(
     t3 = time.perf_counter()
 
     wall = t3 - t2
-    return Result(
-        x=final.x if final.x.shape[0] == orig_n else final.x[:orig_n],
-        gap=float(final.gap),
-        rel_gap=float(final.rel_gap),
-        primal=float(final.primal),
+    # return the BEST-certified iterate: an f32 solve oscillates at its
+    # noise floor, and the last check can read ~2x worse than the best
+    x_out = final.x_best
+    res = Result(
+        x=x_out if x_out.shape[0] == orig_n else x_out[:orig_n],
+        gap=float(final.best_gap),
+        rel_gap=float(final.best_rel_gap),
+        primal=float(final.best_primal),
         iterations=iters,
-        converged=bool(final.rel_gap <= cfg.tol),
+        converged=bool(final.best_rel_gap <= cfg.tol),
         wall_time_s=wall,
         compile_time_s=max(t1 - t0 - wall, 0.0),
         iters_per_sec=iters / wall if wall > 0 else float("inf"),
         history=final.history.trimmed(),
         method=method,
         config=cfg,
+    )
+    return _maybe_certify(user_problem, res, certify)
+
+
+def _maybe_certify(problem: Problem, res: "Result", certify: bool) -> "Result":
+    """certify=True: if the f32 solve stalled above tol, finish with the f64
+    polish phase and fold its certificate into the Result."""
+    import dataclasses as _dc
+
+    if not certify or (res.converged and res.rel_gap <= res.config.tol):
+        return res
+    from convex_optimization_tpu.solvers.polish import polish_support
+
+    pr = polish_support(problem, res.x, tol=res.config.tol)
+    # pr.x stays a float64 numpy array: casting back to the problem dtype
+    # (f32) would re-introduce representation error above deep tolerances
+    return _dc.replace(
+        res,
+        x=pr.x,
+        gap=pr.gap, rel_gap=pr.rel_gap, primal=pr.primal,
+        converged=pr.rel_gap <= res.config.tol,
+        wall_time_s=res.wall_time_s + pr.wall_time_s,
     )

@@ -35,16 +35,16 @@ from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
 from convex_optimization_tpu.ops.bcd_sweep_ref import bcd_sweep_ref
 from convex_optimization_tpu.parallel.collectives import ring_psum
 from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
+from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
 
 
-def _consensus_fn(cfg: "SolverConfig"):
+def _consensus_fn(cfg: SolverConfig):
     """The residual-consensus all-reduce: flat psum or ppermute ring."""
     if cfg.consensus == "ring":
         return lambda v: ring_psum(v, BLOCKS)
     if cfg.consensus != "psum":
         raise ValueError(f"unknown consensus {cfg.consensus!r}")
     return lambda v: lax.psum(v, BLOCKS)
-from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
 
 
 def _state_specs() -> SolveState:

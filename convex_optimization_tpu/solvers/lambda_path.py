@@ -56,8 +56,18 @@ def lambda_path(
     lam_min_frac: float = 0.01,
     lambdas: jax.Array | None = None,
     compact: bool = False,
+    mesh: jax.sharding.Mesh | None = None,
 ) -> PathResult:
-    """Warm-started path with the jitted FISTA solver."""
+    """Warm-started path with the jitted FISTA solver.
+
+    With ``mesh`` the path runs on the column-sharded FISTA: lam1 is data,
+    so every path point reuses ONE compiled shard_map program — warm starts
+    never leave the device mesh."""
+    if mesh is not None:
+        if compact:
+            raise NotImplementedError("compact paths are single-device")
+        return _lambda_path_sharded(problem, cfg, mesh, path_len,
+                                    lam_min_frac, lambdas)
     if lambdas is None:
         lmax = lambda_max(problem.A, problem.b, problem.penalty)
         # start just below lam_max (at lam_max the solution is exactly 0)
@@ -142,4 +152,58 @@ def lambda_path(
     return PathResult(
         lambdas=lambdas, xs=jnp.stack(xs), gaps=jnp.stack(gaps),
         iters=jnp.stack(iters), kept=jnp.asarray(kept),
+    )
+
+
+def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
+                         lambdas):
+    """Column-sharded warm-started path: one compiled shard_map program for
+    all path points (lam1 and the state are the only changing inputs)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+    from convex_optimization_tpu.parallel.mesh import BLOCKS
+    from convex_optimization_tpu.parallel.sharded import (
+        _state_specs,
+        sharded_fista,
+    )
+
+    if lambdas is None:
+        lmax = lambda_max(problem.A, problem.b, problem.penalty)
+        lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
+    lambdas = jnp.asarray(lambdas)
+
+    n_shards = mesh.shape[BLOCKS]
+    if problem.n % n_shards != 0:
+        raise ValueError(f"n={problem.n} must divide over {n_shards} shards")
+
+    A = jax.device_put(problem.A, NamedSharding(mesh, P(None, BLOCKS)))
+    b = jax.device_put(problem.b, NamedSharding(mesh, P()))
+    problem = dataclasses.replace(problem, A=A, b=b)
+    L_total = spectral_norm_sq(problem.A) + problem.lam2
+
+    def make_state(xinit):
+        s = init_state(problem, xinit, cfg)
+        return jax.device_put(
+            s,
+            jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs(),
+                         is_leaf=lambda v: isinstance(v, P)),
+        )
+
+    state = make_state(None)
+    jfn, args = sharded_fista(problem, L_total, state, cfg, mesh)
+    # args = (A, b, lam1, weights, L_total, col_norms, state): swap per point
+    xs, gaps, iters = [], [], []
+    for lam in lambdas:
+        out = jfn(*args[:2], lam, *args[3:6], state)
+        state = make_state(out.x)           # warm start, reset counters
+        xs.append(out.x)
+        gaps.append(out.best_rel_gap)
+        iters.append(out.k)
+
+    return PathResult(
+        lambdas=lambdas, xs=jnp.stack(xs), gaps=jnp.stack(gaps),
+        iters=jnp.stack(iters),
     )

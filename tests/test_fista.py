@@ -106,3 +106,23 @@ def test_lambda_path_compact_matches_plain():
     assert int(comp.kept[0]) < inst.problem.n
     # f32 floor: path points reach the same grade as the plain path
     assert all(float(g) <= 1e-4 for g in np.asarray(comp.gaps))
+
+
+def test_solve_certify_flag():
+    """solve(certify=True) must return an f64-certified result even when
+    the f32 solve stalls above tol."""
+    import numpy as np
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.core.objective import duality_gap
+    import dataclasses, jax.numpy as jnp
+
+    inst = make_lasso_instance(jax.random.PRNGKey(23), 96, 384)
+    res = solve(inst.problem, "fista", tol=1e-9, max_iters=300,
+                stall_checks=5, certify=True)
+    assert res.converged and res.rel_gap <= 1e-9
+    p64 = dataclasses.replace(inst.problem,
+                              A=inst.problem.A.astype(jnp.float64),
+                              b=inst.problem.b.astype(jnp.float64))
+    info = duality_gap(p64, jnp.asarray(res.x))  # x stays f64
+    assert float(info.rel_gap) <= 2e-9

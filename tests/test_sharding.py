@@ -74,3 +74,17 @@ def test_sharded_rejects_indivisible_n(mesh8):
     inst = make_lasso_instance(jax.random.PRNGKey(7), 32, 100)  # 100 % 8 != 0
     with pytest.raises(ValueError, match="divide"):
         solve(inst.problem, "fista", mesh=mesh8)
+
+
+def test_sharded_lambda_path(mesh8):
+    """Warm-started path on the column-sharded solver: one compiled program
+    for all path points; matches the single-device path."""
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(19), 96, 256)
+    cfg = SolverConfig(tol=1e-5, max_iters=3000, gap_every=10)
+    plain = lambda_path(inst.problem, cfg, path_len=5)
+    shard = lambda_path(inst.problem, cfg, path_len=5, mesh=mesh8)
+    np.testing.assert_allclose(np.asarray(shard.xs), np.asarray(plain.xs),
+                               atol=1e-4)
