@@ -212,3 +212,54 @@ BENCH_CONFIGS = {
         name="config5", m=50_000, n=1_000_000, sharded=True,
     ),
 }
+
+
+def save_instance(path: str, inst: Instance) -> None:
+    """Persist a problem instance through the native binary store
+    (utils/native.py — atomic writes, zero-copy reads).  Layout:
+    <path>.A / <path>.b / <path>.meta.npz.
+    """
+    import numpy as np
+
+    from convex_optimization_tpu.utils import native
+
+    import jax
+
+    A = np.asarray(jax.device_get(inst.problem.A), np.float32)
+    native.write_matrix(path + ".A", A)
+    native.write_matrix(path + ".b",
+                        np.asarray(jax.device_get(inst.problem.b),
+                                   np.float32))
+    pen = inst.problem.penalty
+    np.savez(
+        path + ".meta.npz",
+        lam1=np.float64(jax.device_get(jnp.asarray(pen.lam1))),
+        lam2=np.float64(inst.problem.lam2),
+        kind=np.frombuffer(pen.kind.encode(), dtype=np.uint8),
+        ngroups=np.int64(pen.ngroups),
+        weights=(np.zeros(0) if pen.weights is None
+                 else np.asarray(jax.device_get(pen.weights))),
+        x_true=np.asarray(jax.device_get(inst.x_true)),
+        support=np.asarray(jax.device_get(inst.support)),
+    )
+
+
+def load_instance(path: str) -> Instance:
+    """Load an instance written by save_instance (native store reads)."""
+    import numpy as np
+
+    from convex_optimization_tpu.utils import native
+
+    A = native.read_matrix(path + ".A")
+    b = native.read_matrix(path + ".b").reshape(-1)
+    with np.load(path + ".meta.npz") as z:
+        kind = bytes(z["kind"].tobytes()).decode()
+        weights = z["weights"]
+        pen = Penalty(
+            lam1=float(z["lam1"]), kind=kind, ngroups=int(z["ngroups"]),
+            weights=None if weights.size == 0 else jnp.asarray(weights),
+        )
+        prob = Problem(A=jnp.asarray(A), b=jnp.asarray(b), penalty=pen,
+                       lam2=float(z["lam2"]))
+        return Instance(problem=prob, x_true=jnp.asarray(z["x_true"]),
+                        support=jnp.asarray(z["support"]))

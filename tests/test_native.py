@@ -68,3 +68,29 @@ def test_host_instance_polish_with_host_arrays():
     res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
     pr = polish(inst.problem, res.x, tol=1e-8, A_host=A_np, b_host=b_np)
     assert pr.rel_gap <= 1e-8
+
+
+def test_instance_store_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import (
+        make_lasso_instance,
+        save_instance,
+        load_instance,
+    )
+
+    inst = make_lasso_instance(jax.random.PRNGKey(31), 64, 256,
+                               penalty_kind="group_l2", ngroups=16)
+    p = str(tmp_path / "inst")
+    save_instance(p, inst)
+    back = load_instance(p)
+    np.testing.assert_array_equal(np.asarray(back.problem.A),
+                                  np.asarray(inst.problem.A))
+    np.testing.assert_array_equal(np.asarray(back.support),
+                                  np.asarray(inst.support))
+    assert back.problem.penalty.kind == "group_l2"
+    # loaded instance solves identically
+    r1 = solve(inst.problem, "fista", tol=1e-4, max_iters=2000)
+    r2 = solve(back.problem, "fista", tol=1e-4, max_iters=2000)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x), atol=1e-6)
