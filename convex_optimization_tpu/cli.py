@@ -177,8 +177,13 @@ def main(argv=None) -> int:
                             gap_every=args.gap_every,
                             screen_every=1 if screen else 0,
                             stall_checks=args.stall_checks)
+        path_kw = {}
+        if mesh_n:
+            from convex_optimization_tpu.parallel.mesh import make_mesh
+
+            path_kw["mesh"] = make_mesh(mesh_n, axis=args.mesh_axis)
         with M.WallTimer() as t:
-            pr = run_path(problem, scfg, path_len=lambda_path)
+            pr = run_path(problem, scfg, path_len=lambda_path, **path_kw)
             jax.block_until_ready(pr.xs)
         rows = []
         for i in range(lambda_path):

@@ -54,6 +54,9 @@ def make_lasso_instance(
     nnz = max(1, int(round(support_frac * n)))
     idx = jax.random.choice(k_s, n, shape=(nnz,), replace=False)
     support = jnp.zeros((n,), bool).at[idx].set(True)
+    # v + sign(v): planted coefficients are well separated from zero
+    # (|x*| >= 1), so support recovery at moderate lam is well defined;
+    # the host twin (below) uses the same scheme
     vals = jax.random.normal(k_v, (nnz,), dtype=dtype) + jnp.sign(
         jax.random.normal(k_v, (nnz,), dtype=dtype)
     )
@@ -122,7 +125,7 @@ def make_lasso_instance_host(
     support = np.zeros(n, bool)
     support[idx] = True
     vals = rng.standard_normal(nnz).astype(np.float32)
-    vals += np.sign(rng.standard_normal(nnz)).astype(np.float32)
+    vals += np.sign(vals)      # |x*| >= 1, matching make_lasso_instance
     x_true = np.zeros(n, np.float32)
     x_true[idx] = vals
     if penalty_kind == "nonneg_l1":

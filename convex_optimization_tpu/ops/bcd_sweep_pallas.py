@@ -176,7 +176,9 @@ def _sweep_kernel(kind: str, gsize: int, B: int,
     else:
         raise ValueError(f"unknown penalty kind {kind!r}")
 
-    x_new = jnp.where(mask_ref[pl.ds(j, 1), :] > 0, x_new, xj)
+    # masked coords go to 0 (screened => certified zero); the
+    # residual update below absorbs the change exactly
+    x_new = jnp.where(mask_ref[pl.ds(j, 1), :] > 0, x_new, 0.0)
     dx = x_new - xj
 
     # r += A_j dx -> (1, m): contract B, SAME resident A_j

@@ -166,7 +166,9 @@ def _kernel(kind: str, gsize: int, B: int, MT: int, n_tiles: int,
         x_new = v * scale
     else:
         raise ValueError(f"unknown penalty kind {kind!r}")
-    x_new = jnp.where(mask_ref[pl.ds(j, 1), :] > 0, x_new, xj)
+    # masked coords go to 0 (screened => certified zero); the
+    # residual update below absorbs the change exactly
+    x_new = jnp.where(mask_ref[pl.ds(j, 1), :] > 0, x_new, 0.0)
     dx = x_new - xj
     x_out_ref[pl.ds(j, 1), :] = x_new
 
@@ -254,7 +256,7 @@ def bcd_sweep_pallas_tiled(
             pl.BlockSpec(memory_space=pltpu.SMEM),                # steps
             pl.BlockSpec((n_blocks, w.shape[1]), full,
                          memory_space=pltpu.VMEM),                # weights
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # A in HBM
+            pl.BlockSpec(memory_space=pl.ANY),                    # A in HBM
             pl.BlockSpec((n_blocks, B), full,
                          memory_space=pltpu.VMEM),                # x
             pl.BlockSpec((n_blocks, B), full,

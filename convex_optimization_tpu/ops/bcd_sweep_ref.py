@@ -58,8 +58,11 @@ def bcd_sweep_ref(
         t = step_scale / (lax.dynamic_index_in_dim(block_L, j, keepdims=False) + lam2)
         xj_new = penalty.prox_block(xj - t * g, t, j, n)
         if keep_mask is not None:
+            # screened coordinates are CERTIFIED zero at the optimum: set
+            # them to 0 (not their stale value) — the incremental residual
+            # update below absorbs the change exactly
             mj = lax.dynamic_slice(keep_mask, (col0,), (B,))
-            xj_new = jnp.where(mj, xj_new, xj)
+            xj_new = jnp.where(mj, xj_new, 0.0)
         r = r + Aj @ (xj_new - xj)
         x = lax.dynamic_update_slice(x, xj_new, (col0,))
         return (x, r), None

@@ -27,7 +27,12 @@ from jax.sharding import PartitionSpec as P
 from convex_optimization_tpu.core.objective import gap_from_parts
 from convex_optimization_tpu.core.problem import Problem
 from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
-from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
+from convex_optimization_tpu.solvers.common import (
+    History,
+    SolveState,
+    SolverConfig,
+    record_check,
+)
 
 
 def make_grid_mesh(rows: int, cols: int, devices=None):
@@ -69,20 +74,10 @@ def _gap_check_grid(pen, lam2, A_loc, b_loc, s: SolveState, cn_loc,
         dual_norm_value=dn,
     )
     nnz = lax.psum(jnp.sum(x_loc != 0), BLOCKS).astype(jnp.int32)
-    hist = s.history.record(s.k, info.primal, info.dual, info.gap,
-                            info.rel_gap, nnz)
     keep = s.keep_mask
     if screen:
         keep = keep & pen.screen_keep(z_loc, info.alpha, info.gap, cn_loc)
-    improved = info.rel_gap < s.best_rel_gap
-    return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
-                      history=hist, keep_mask=keep,
-                      best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
-                      stall=jnp.where(improved, 0, s.stall + 1),
-                      x_best=jnp.where(improved, x_loc, s.x_best),
-                      best_gap=jnp.where(improved, info.gap, s.best_gap),
-                      best_primal=jnp.where(improved, info.primal,
-                                            s.best_primal))
+    return record_check(s, info, x_loc, nnz, keep)
 
 
 def grid_sharded_fista(problem: Problem, L_total, state0: SolveState,

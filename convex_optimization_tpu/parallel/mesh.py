@@ -33,10 +33,19 @@ def make_mesh(n_devices: int | None = None, devices=None,
 
 
 def init_multihost(coordinator_address: str | None = None, **kw) -> None:
-    """Initialize multi-host JAX (v5e-16 style). No-op if single-process."""
-    if jax.process_count() > 1 or coordinator_address is None:
+    """Initialize multi-host JAX (v5e-16 style). No-op without an address.
+
+    NOTE: must run before ANY device query — even jax.process_count()
+    initializes the local backend, after which distributed init raises.
+    A repeat call (already-initialized runtime) is swallowed."""
+    if coordinator_address is None:
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   **kw)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def col_sharding(mesh: Mesh) -> NamedSharding:

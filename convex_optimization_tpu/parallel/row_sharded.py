@@ -26,7 +26,12 @@ from jax.sharding import PartitionSpec as P
 from convex_optimization_tpu.core.objective import gap_from_parts
 from convex_optimization_tpu.core.problem import Problem
 from convex_optimization_tpu.parallel.mesh import ROWS
-from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
+from convex_optimization_tpu.solvers.common import (
+    History,
+    SolveState,
+    SolverConfig,
+    record_check,
+)
 
 
 def _state_specs_rows() -> SolveState:
@@ -53,20 +58,10 @@ def _gap_check_rows(pen, lam2, A_loc, b_loc, s: SolveState, col_norms,
         dual_norm_value=pen.dual_norm(z),
     )
     nnz = jnp.sum(x != 0).astype(jnp.int32)
-    hist = s.history.record(s.k, info.primal, info.dual, info.gap,
-                            info.rel_gap, nnz)
     keep = s.keep_mask
     if screen:
         keep = keep & pen.screen_keep(z, info.alpha, info.gap, col_norms)
-    improved = info.rel_gap < s.best_rel_gap
-    return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
-                      history=hist, keep_mask=keep,
-                      best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
-                      stall=jnp.where(improved, 0, s.stall + 1),
-                      x_best=jnp.where(improved, x, s.x_best),
-                      best_gap=jnp.where(improved, info.gap, s.best_gap),
-                      best_primal=jnp.where(improved, info.primal,
-                                            s.best_primal))
+    return record_check(s, info, x, nnz, keep)
 
 
 def sharded_fista_rows(problem: Problem, L_total, state0: SolveState,

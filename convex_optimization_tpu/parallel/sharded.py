@@ -35,7 +35,12 @@ from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
 from convex_optimization_tpu.ops.bcd_sweep_ref import bcd_sweep_ref
 from convex_optimization_tpu.parallel.collectives import ring_psum
 from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
-from convex_optimization_tpu.solvers.common import History, SolveState, SolverConfig
+from convex_optimization_tpu.solvers.common import (
+    History,
+    SolveState,
+    SolverConfig,
+    record_check,
+)
 
 
 def _consensus_fn(cfg: SolverConfig):
@@ -82,21 +87,11 @@ def _gap_check_local(pen_loc: Penalty, lam2, A_loc, b, s: SolveState,
         dual_norm_value=dn,
     )
     nnz = lax.psum(jnp.sum(s.x != 0), BLOCKS).astype(jnp.int32)
-    hist = s.history.record(s.k, info.primal, info.dual, info.gap,
-                            info.rel_gap, nnz)
     keep = s.keep_mask
     if screen:
         keep = keep & pen_loc.screen_keep(z_loc, info.alpha, info.gap,
                                           col_norms_loc)
-    improved = info.rel_gap < s.best_rel_gap
-    return s._replace(rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
-                      history=hist, keep_mask=keep,
-                      best_rel_gap=jnp.minimum(info.rel_gap, s.best_rel_gap),
-                      stall=jnp.where(improved, 0, s.stall + 1),
-                      x_best=jnp.where(improved, x_loc, s.x_best),
-                      best_gap=jnp.where(improved, info.gap, s.best_gap),
-                      best_primal=jnp.where(improved, info.primal,
-                                            s.best_primal))
+    return record_check(s, info, x_loc, nnz, keep)
 
 
 def sharded_fista(problem: Problem, L_total, state0: SolveState,
@@ -207,6 +202,19 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
     if n_blocks % n_shards != 0:
         raise ValueError("n_blocks must divide evenly over mesh devices")
     nb_loc = n_blocks // n_shards
+    n_loc = problem.n // n_shards
+    bs_loc = n_loc // nb_loc
+    use_pallas_local = False
+    if cfg.use_pallas:
+        # per-chip fused sweep: same kernel, run on the local slab inside
+        # shard_map (the 'per-chip slab' target in bcd_sweep_pallas_tiled)
+        from convex_optimization_tpu.ops.bcd_sweep_pallas import eligible
+        from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
+            eligible_tiled,
+        )
+
+        use_pallas_local = (eligible(problem.m, n_loc, bs_loc)
+                            or eligible_tiled(problem.m, n_loc, bs_loc))
 
     def local_solve(A_loc, b, lam1, weights_loc, bL_loc, cn_loc,
                     s: SolveState) -> SolveState:
@@ -216,16 +224,28 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
         prob_loc = Problem(A=A_loc, b=b, penalty=pen_loc, lam2=lam2)
         order = jnp.arange(nb_loc, dtype=jnp.int32)
 
+        def local_sweep(x_loc, r_in, keep):
+            if use_pallas_local:
+                from convex_optimization_tpu.ops.bcd_sweep_pallas import (
+                    bcd_sweep_pallas,
+                )
+
+                return bcd_sweep_pallas(
+                    prob_loc, x_loc, r_in, bL_loc,
+                    step_scale=cfg.step_scale, keep_mask=keep,
+                )
+            return bcd_sweep_ref(
+                prob_loc, x_loc, r_in, bL_loc, order,
+                step_scale=cfg.step_scale, keep_mask=keep,
+            )
+
         def sweep(s: SolveState) -> SolveState:
             x_loc, r = s.x, s.r
             # r is replicated; the local sweep produces a device-varying
             # residual, so mark the carry varying for shard_map's VMA checks
             r_in = (lax.pcast(r, (BLOCKS,), to="varying")
                     if cfg.consensus == "psum" else r)  # no-op w/o VMA
-            x_new, r_virtual = bcd_sweep_ref(
-                prob_loc, x_loc, r_in, bL_loc, order,
-                step_scale=cfg.step_scale, keep_mask=s.keep_mask,
-            )
+            x_new, r_virtual = local_sweep(x_loc, r_in, s.keep_mask)
             # Chips sweep their own blocks Gauss-Seidel against the shared
             # residual; summing all chips' updates (Jacobi across chips) can
             # overshoot when column slabs correlate.  Safeguard: exact line
@@ -426,6 +446,9 @@ def solve_sharded(problem: Problem, method: str, mesh: jax.sharding.Mesh,
         cfg = SolverConfig()
     if method == "ista":
         cfg_overrides.setdefault("momentum", False)
+    if method == "bcd_pallas":
+        method = "bcd"
+        cfg_overrides.setdefault("use_pallas", True)
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 

@@ -36,7 +36,11 @@ class SolverConfig:
 
     @property
     def max_checks(self) -> int:
-        return self.max_iters // self.gap_every + 1
+        # ceil: the loop body always completes a full gap_every batch, so
+        # the last check lands at ceil(max_iters/gap_every)*gap_every;
+        # floor division dropped the final record when gap_every did not
+        # divide max_iters
+        return -(-self.max_iters // self.gap_every) + 1
 
 
 class History(NamedTuple):
@@ -110,3 +114,24 @@ class SolveState(NamedTuple):
 
 def count_nnz(x: jax.Array) -> jax.Array:
     return jnp.sum(x != 0).astype(jnp.int32)
+
+
+def record_check(state: SolveState, info, x_for_best: jax.Array,
+                 nnz: jax.Array, keep: jax.Array) -> SolveState:
+    """Shared gap-check bookkeeping for every while_loop solver: history
+    record, screening mask, stall counter, and best-iterate tracking.  The
+    callers differ only in how the GapInfo partials are REDUCED (local /
+    psum / pmax) — that stays with them; this keeps the state-update logic
+    in exactly one place (it previously diverged across five copies)."""
+    hist = state.history.record(state.k, info.primal, info.dual, info.gap,
+                                info.rel_gap, nnz)
+    improved = info.rel_gap < state.best_rel_gap
+    return state._replace(
+        rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
+        history=hist, keep_mask=keep,
+        best_rel_gap=jnp.minimum(info.rel_gap, state.best_rel_gap),
+        stall=jnp.where(improved, 0, state.stall + 1),
+        x_best=jnp.where(improved, x_for_best, state.x_best),
+        best_gap=jnp.where(improved, info.gap, state.best_gap),
+        best_primal=jnp.where(improved, info.primal, state.best_primal),
+    )

@@ -32,6 +32,7 @@ from convex_optimization_tpu.solvers.common import (
     SolveState,
     SolverConfig,
     count_nnz,
+    record_check,
 )
 
 
@@ -83,23 +84,11 @@ def _check_and_record(problem: Problem, state: SolveState, cfg: SolverConfig,
         g_value=problem.penalty.value(x),
         dual_norm_value=problem.penalty.dual_norm(z),
     )
-    hist = state.history.record(
-        state.k, info.primal, info.dual, info.gap, info.rel_gap, count_nnz(x)
-    )
     keep = state.keep_mask
     if cfg.screen_every > 0:
         new_keep = problem.penalty.screen_keep(z, info.alpha, info.gap, col_norms)
         keep = keep & new_keep
-    improved = info.rel_gap < state.best_rel_gap
-    return state._replace(
-        rel_gap=info.rel_gap, gap=info.gap, primal=info.primal,
-        history=hist, keep_mask=keep,
-        best_rel_gap=jnp.minimum(info.rel_gap, state.best_rel_gap),
-        stall=jnp.where(improved, 0, state.stall + 1),
-        x_best=jnp.where(improved, x, state.x_best),
-        best_gap=jnp.where(improved, info.gap, state.best_gap),
-        best_primal=jnp.where(improved, info.primal, state.best_primal),
-    )
+    return record_check(state, info, x, count_nnz(x), keep)
 
 
 def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,

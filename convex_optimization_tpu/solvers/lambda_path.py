@@ -198,8 +198,8 @@ def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
     xs, gaps, iters = [], [], []
     for lam in lambdas:
         out = jfn(*args[:2], lam, *args[3:6], state)
-        state = make_state(out.x)           # warm start, reset counters
-        xs.append(out.x)
+        state = make_state(out.x_best)      # warm start, reset counters
+        xs.append(out.x_best)               # gap below describes THIS point
         gaps.append(out.best_rel_gap)
         iters.append(out.k)
 

@@ -71,9 +71,9 @@ def test_sweep_parity_with_mask_and_damping():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref),
                                rtol=1e-4, atol=1e-5)
-    # frozen coordinates really frozen
-    assert np.all(np.asarray(x_pal)[~np.asarray(keep)]
-                  == np.asarray(x)[~np.asarray(keep)])
+    # screened coordinates are certified zero and must be SET to zero
+    # (not frozen at a stale value)
+    assert np.all(np.asarray(x_pal)[~np.asarray(keep)] == 0.0)
 
 
 def test_multiple_sweeps_converge():
