@@ -122,7 +122,7 @@ def main() -> None:
     polish_note = ""
     if not certified:
         pr = polish_support(problem, res.x, tol=tol, A_host=A_np,
-                            b_host=b_np)
+                            b_host=b_np, verbose=True)
         polish_wall = pr.wall_time_s
         final_gap = pr.rel_gap
         certified = pr.rel_gap <= tol

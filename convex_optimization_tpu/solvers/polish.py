@@ -461,6 +461,10 @@ def polish_support(problem, x, *, tol: float = 1e-6,
             # (a host gather of just those columns) before expanding
             near = np.setdiff1d(
                 np.nonzero(ub >= lam1 * (1.0 - 1e-6))[0], S)
+            if len(near) > 8192:
+                # bound the exact-refinement gather: only the columns whose
+                # margined witness is largest can decide the dual norm
+                near = near[np.argsort(-ub[near])[:8192]]
             if len(near):
                 A_near = (np.asarray(jax.device_get(
                               problem.A[:, jnp.asarray(near)]), np.float64)
