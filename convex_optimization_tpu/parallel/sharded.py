@@ -408,18 +408,20 @@ def _timed_run(jfn, args, make_state, x0):
     from convex_optimization_tpu.api import _perturb_start
 
     t0 = time.perf_counter()
-    warm = jfn(*args)
-    int(warm.k)  # value fetch: the only reliable completion barrier here
+    final = jfn(*args)
+    int(final.k)  # value fetch: the only reliable completion barrier here
     t1 = time.perf_counter()
-    # the perturb helper needs n/dtype; reconstruct from the state's x leaf
-    # instead of assuming the problem's position in args.
+    # timed run from a minutely perturbed start — used ONLY for the wall
+    # clock; the returned result is the unperturbed first run (the nudge
+    # must never leak into the solution).  The perturb helper needs
+    # n/dtype; reconstruct from the state's x leaf.
     x_t = _perturb_start(x0, _ProblemLike(args[-1].x))
     state_t = make_state(x_t)
     jax.block_until_ready(state_t.x)
     t2 = time.perf_counter()
-    final = jfn(*args[:-1], state_t)
+    timed = jfn(*args[:-1], state_t)
     # value fetch INSIDE the timed window (see api.solve)
-    int(final.k)
+    int(timed.k)
     t3 = time.perf_counter()
     wall = t3 - t2
     return final, wall, max(t1 - t0 - wall, 0.0)
