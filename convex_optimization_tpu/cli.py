@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable gap-safe screening")
     p.add_argument("--lambda-path", type=int, default=0,
                    help="run a warm-started geometric path of this length")
+    p.add_argument("--path-compact", action="store_true",
+                   help="per-lambda gap-safe compaction along the path "
+                        "(actual FLOP reduction at the sparse end)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard A over this many devices")
     p.add_argument("--mesh-axis", default="blocks",
@@ -178,6 +181,8 @@ def main(argv=None) -> int:
                             screen_every=1 if screen else 0,
                             stall_checks=args.stall_checks)
         path_kw = {}
+        if args.path_compact:
+            path_kw["compact"] = True
         if mesh_n:
             from convex_optimization_tpu.parallel.mesh import make_mesh
 
@@ -193,6 +198,8 @@ def main(argv=None) -> int:
                 "iters": int(pr.iters[i]),
                 "nnz": int(jnp.sum(pr.xs[i] != 0)),
             })
+            if pr.kept is not None:
+                rows[-1]["kept"] = int(pr.kept[i])
             print(f"[{name}] path[{i}] lam1={rows[-1]['lam1']:.4g} "
                   f"iters={rows[-1]['iters']} rel_gap={rows[-1]['rel_gap']:.2e} "
                   f"nnz={rows[-1]['nnz']}", file=sys.stderr)

@@ -9,12 +9,19 @@ necessarily zero at smaller lam1, so masks are re-derived, not inherited —
 only the warm-start x is inherited).
 
 ``compact=True`` additionally SHRINKS the problem per path point
-(SURVEY.md section 7.2 step 6): the warm start is a certified point for the
-new lam1, so a gap-safe screen at it discards most columns at the sparse
-(high-lambda) end of the path; the solve then runs on the compacted columns
-only — an actual FLOP reduction, unlike in-solver masking.  Kept counts are
-bucketed (padded up with extra columns) so re-jits amortize across path
-points of similar active size.
+(SURVEY.md section 7.2 step 6): a gap-safe screen at the warm start
+discards columns, and the solve runs on the compacted columns only — an
+actual FLOP reduction, unlike in-solver masking.  Kept counts are bucketed
+(padded up with extra columns) so re-jits amortize across path points of
+similar active size.
+
+MEASURED CAVEAT (v5e, config2: 5k x 50k, 10 geometric points): at the
+standard geometric spacing the warm start's gap at the NEXT lam1 is large
+(order (lam_k-1 - lam_k) * ||x||_1), so the safe radius keeps nearly every
+column and each point pays a fresh re-jit — 75s vs 7.8s for the plain
+path.  Use compact=True only for DENSELY spaced paths (small lam steps,
+e.g. 50+ points), where the warm-start gap is small and the screen bites;
+otherwise prefer compact=False (in-solver masks are free).
 """
 
 from __future__ import annotations
