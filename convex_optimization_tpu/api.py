@@ -118,6 +118,24 @@ def solve(
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 
+    if method == "fista_ws":
+        from convex_optimization_tpu.solvers.working_set import (
+            solve_working_set,
+        )
+
+        x_ws, info, meta = solve_working_set(problem, cfg, x0=x0)
+        wall = meta["wall_s"]
+        res = Result(
+            x=x_ws, gap=float(info.gap), rel_gap=float(info.rel_gap),
+            primal=float(info.primal), iterations=meta["inner_iters"],
+            converged=bool(info.rel_gap <= cfg.tol), wall_time_s=wall,
+            compile_time_s=0.0,
+            iters_per_sec=meta["inner_iters"] / wall if wall > 0 else 0.0,
+            history={"rounds": meta["rounds"]},
+            method=method, config=cfg,
+        )
+        return _maybe_certify(problem, res, certify)
+
     col_norms = problem.col_norms() if cfg.screen_every > 0 else None
     orig_n = problem.n  # the bcd_pallas branch may zero-pad columns
     user_problem = problem  # unpadded view, for the certify phase

@@ -126,3 +126,32 @@ def test_solve_certify_flag():
                               b=inst.problem.b.astype(jnp.float64))
     info = duality_gap(p64, jnp.asarray(res.x))  # x stays f64
     assert float(info.rel_gap) <= 2e-9
+
+
+@pytest.mark.parametrize("kind", ["l1", "nonneg_l1"])
+def test_working_set_matches_full_solve(kind):
+    """fista_ws (working-set outer loop) must reach the same solution and an
+    honest FULL-width gap."""
+    import numpy as np
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+    inst = make_lasso_instance(jax.random.PRNGKey(61), 128, 1024,
+                               penalty_kind=kind)
+    ref = solve(inst.problem, "fista", tol=1e-5, max_iters=5000)
+    ws = solve(inst.problem, "fista_ws", tol=1e-5, max_iters=5000)
+    assert ws.converged, ws.rel_gap
+    # two independent tol=1e-5 solves: iterates agree within the
+    # gap-implied ball, not to solver-noise level
+    np.testing.assert_allclose(np.asarray(ws.x), np.asarray(ref.x),
+                               atol=5e-4)
+
+
+def test_working_set_certify():
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+    inst = make_lasso_instance(jax.random.PRNGKey(62), 96, 768)
+    res = solve(inst.problem, "fista_ws", tol=1e-8, max_iters=3000,
+                stall_checks=10, certify=True)
+    assert res.converged and res.rel_gap <= 1e-8
