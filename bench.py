@@ -114,8 +114,17 @@ def main() -> None:
     problem = inst.problem
     lam1 = float(problem.penalty.lam1)
 
-    res = solve(problem, method=method, tol=tol, max_iters=20_000,
-                gap_every=10, stall_checks=15, block_size=128)
+    def _solve_once():
+        return solve(problem, method=method, tol=tol, max_iters=20_000,
+                     gap_every=10, stall_checks=15, block_size=128)
+
+    try:
+        res = _solve_once()
+    except Exception as e:  # one retry: the relay occasionally drops a call
+        print(f"# solve failed ({type(e).__name__}: {e}); retrying once",
+              file=sys.stderr)
+        time.sleep(10)
+        res = _solve_once()
     certified = res.converged and res.rel_gap <= tol
     polish_wall = 0.0
     final_gap = res.rel_gap
