@@ -215,7 +215,9 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
     cn_safe = cn * (1.0 + 4 * eps) + 1e-12
     z_err = gamma * cn_safe * r_norm
-    gap_safe = 1.25 * abs(gap0) + 4 * eps * abs(primal0)
+    # the f32 gap itself carries the same O(log2(m) eps |primal|) reduction
+    # error as the witnesses — inflate by gamma, not a bare 4 eps
+    gap_safe = 1.25 * abs(gap0) + gamma * abs(primal0)
 
     # screening radius: R0 (at theta0) + R_hat (tol-level compact gap)
     radius = (np.sqrt(2.0 * gap_safe)
@@ -234,6 +236,13 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     keep = ~discard
     keep, pen_s = pen.compact(keep)
     idx = np.nonzero(keep)[0]
+    if len(idx) == 0:
+        # every column certified zero: keep one arbitrary column so the
+        # machinery below runs (it will drive that coordinate to 0 and the
+        # certificate covers the full problem)
+        keep[:1] = True
+        idx = np.array([0])
+        keep, pen_s = pen.compact(keep)
 
     # Lipschitz bound for the compact slab, computed ON DEVICE in f32 and
     # inflated (f32 power-iteration error << 1%); 48 host passes over a
@@ -374,7 +383,8 @@ def polish_support(problem, x, *, tol: float = 1e-6,
 
     if problem.penalty.kind not in ("l1", "nonneg_l1"):
         return polish_fast(problem, x, tol=tol, max_iters=max_iters,
-                           A_host=A_host, b_host=b_host)
+                           gap_every=gap_every, A_host=A_host,
+                           b_host=b_host)
 
     t0 = time.perf_counter()
     m, n = problem.A.shape
@@ -455,7 +465,7 @@ def polish_support(problem, x, *, tol: float = 1e-6,
             return rel, gap, primal
 
         rel, gap, primal = certify(ub)
-        if rel > tol:
+        if rel > tol:  # noqa: placeholder (refined below)
             # the f32 margin may be the only thing pushing near-boundary
             # columns over: replace their witnesses with exact f64 values
             # (a host gather of just those columns) before expanding
@@ -475,16 +485,18 @@ def polish_support(problem, x, *, tol: float = 1e-6,
                 ub[near] = (np.abs(z_near) if pen.kind == "l1"
                             else np.maximum(z_near, 0.0))
                 rel, gap, primal = certify(ub)
-        best = (xs.copy(), S.copy(), k, rel, gap, primal)
+        if best is None or rel < best[3]:
+            best = (xs.copy(), S.copy(), k, rel, gap, primal)
         if rel <= tol:
             break
         # expand with the genuinely-violating / nearest-boundary columns
         outside = np.setdiff1d(np.nonzero(ub >= lam1 * (1.0 - 1e-9))[0], S)
         if len(outside) == 0:
-            take = np.setdiff1d(np.argsort(-ub)[:2 * len(S)], S)[:len(S)]
-            if len(take) == 0:
+            # np.setdiff1d sorts by index — rank candidates by witness
+            cand = np.setdiff1d(np.argsort(-ub)[:2 * len(S)], S)
+            if len(cand) == 0:
                 break
-            outside = take
+            outside = cand[np.argsort(-ub[cand])[:len(S)]]
         x_np = np.zeros(n, np.float64)
         x_np[S] = xs
         S = np.sort(np.concatenate([S, outside]))
@@ -537,46 +549,16 @@ def polish(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     keep = pen.keep_mask(z, alpha, gap0, col_norms)
     keep, pen_s = pen.compact(keep)
     idx = np.nonzero(keep)[0]
+    if len(idx) == 0:
+        keep[:1] = True     # x* = 0 certified; see polish_fast's guard
+        idx = np.array([0])
+        keep, pen_s = pen.compact(keep)
     As = A[:, idx].astype(np.float64)
-    xs = x0[idx]
+    xs_init = x0[idx]
 
-    # Lipschitz bound via power iteration (setup, cheap)
-    v = np.random.default_rng(0).standard_normal(len(idx))
-    v /= np.linalg.norm(v)
-    for _ in range(24):
-        u = As.T @ (As @ v)
-        v = u / max(np.linalg.norm(u), 1e-300)
-    u = As @ v
-    L = 1.05 * float(u @ u) + lam2
-    step = 1.0 / L
-
-    # 3: f64 FISTA with adaptive restart, warm-started
-    x_prev = xs.copy()
-    r = As @ xs - b
-    r_prev = r.copy()
-    t_mom = 1.0
-    k = 0
-    rel = np.inf
-    gap = primal = np.inf
-    while k < max_iters:
-        for _ in range(gap_every):
-            t_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_mom * t_mom))
-            beta = (t_mom - 1.0) / t_next
-            y = xs + beta * (xs - x_prev)
-            r_y = r + beta * (r - r_prev)
-            g = As.T @ r_y + lam2 * y
-            x_new = pen_s.prox(y - step * g, step)
-            r_new = As @ x_new - b
-            if float((y - x_new) @ (x_new - xs)) > 0.0:   # restart
-                t_next, x_prev, r_prev = 1.0, x_new, r_new
-            else:
-                x_prev, r_prev = xs, r
-            xs, r, t_mom = x_new, r_new, t_next
-            k += 1
-        zs = -(As.T @ r) - lam2 * xs
-        gap, primal, rel, _ = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
-        if rel <= tol:
-            break
+    xs, sub_idx, k, rel, gap, primal, r = _fista64(
+        As, b, lam2, pen_s, xs_init, tol, max_iters, gap_every)
+    idx = idx[sub_idx]
 
     # 4: scatter back, certify on the FULL problem.  FULL PASS 2 over A
     # (dual feasibility must be checked on every column, kept or not).

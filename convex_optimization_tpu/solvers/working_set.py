@@ -71,7 +71,6 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     t0 = time.perf_counter()
 
     L_total = spectral_norm_sq(problem.A) + problem.lam2
-    kind = problem.penalty.kind
 
     # Every step of the outer loop is JITTED: on a relay-backed device each
     # EAGER op pays an HTTP round-trip (measured: an unjitted screen loop
@@ -79,14 +78,10 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     @jax.jit
     def _screen_dev(problem, x):
         cn = problem.col_norms()
-        lam1 = problem.penalty.lam1
         r = problem.residual(x)
         z = dual_witness(problem, x, r)
         info = duality_gap(problem, x, r, z=z)
-        radius = jnp.sqrt(2.0 * jnp.maximum(info.gap, 0.0))
-        witness = (jnp.abs(info.alpha * z) if kind == "l1"
-                   else info.alpha * z)
-        keep = ~(witness + radius * cn < lam1)
+        keep = problem.penalty.screen_keep(z, info.alpha, info.gap, cn)
         keep = keep | (x != 0)                 # never drop active coords
         return keep, info
 
