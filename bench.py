@@ -67,7 +67,9 @@ def numpy_bcd_sweep_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
             sl = slice(c0, c1)
             Aj = A[:, sl]
             g = Aj.T @ r
-            t = 1.0 / L[j]
+            # python float: a np.float64 scalar would NEP-50-upcast the f32
+            # vectors (and then A itself, via the matvec) to float64
+            t = float(1.0 / L[j])
             v = x[sl] - t * g
             x_new = np.sign(v) * np.maximum(np.abs(v) - t * lam1, 0.0)
             r += Aj @ (x_new - x[sl])
@@ -97,8 +99,11 @@ def numpy_fista_iter_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
     t_mom = 1.0
     t0 = time.perf_counter()
     for _ in range(iters):
-        t_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_mom * t_mom))
-        beta = (t_mom - 1.0) / t_next
+        # python floats throughout: np.float64 scalars would NEP-50-upcast
+        # the f32 state and force an 8 GB/pass f64 cast of A (measured:
+        # 166 s/iteration instead of ~2 s)
+        t_next = float(0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_mom * t_mom)))
+        beta = float((t_mom - 1.0) / t_next)
         y = x + beta * (x - x_prev)
         r_y = r + beta * (r - r_prev)
         g = A.T @ r_y
@@ -108,6 +113,38 @@ def numpy_fista_iter_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
         x_prev, r_prev, x, r, t_mom = x, r, x_new, r_new, t_next
     t1 = time.perf_counter()
     return (t1 - t0) / iters
+
+
+def _baseline_per_unit(method, A_np, b_np, lam1, base_sweeps):
+    """Reference-style CPU baseline, cached per (shape, method, host): the
+    measurement is deterministic per instance and costs minutes at the
+    headline size."""
+    m, n = A_np.shape
+    cache_path = os.environ.get("BENCH_BASELINE_CACHE",
+                                "/tmp/co_tpu_baseline_cache.json")
+    alg = "fista" if "fista" in method else "bcd"
+    cache_key = f"{m}x{n}:seed42:block128:{os.uname().nodename}:{alg}"
+    cache = {}
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except Exception:
+        pass
+    if cache_key in cache:
+        return cache[cache_key]
+    if alg == "fista":
+        per_unit = numpy_fista_iter_seconds(A_np, b_np, lam1,
+                                            iters=base_sweeps)
+    else:
+        per_unit = numpy_bcd_sweep_seconds(A_np, b_np, lam1, block=128,
+                                           sweeps=base_sweeps)
+    cache[cache_key] = per_unit
+    try:
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    except Exception:
+        pass
+    return per_unit
 
 
 def main() -> None:
@@ -148,6 +185,11 @@ def main() -> None:
     problem = inst.problem
     lam1 = float(problem.penalty.lam1)
 
+    # measure the CPU baseline FIRST, in a clean memory state: running it
+    # after the solve+polish put it under memory pressure and inflated the
+    # per-iteration time ~100x (measured), which would flatter vs_baseline
+    per_unit = _baseline_per_unit(method, A_np, b_np, lam1, base_sweeps)
+
     def _solve_once():
         return solve(problem, method=method, tol=tol, max_iters=20_000,
                      gap_every=10, stall_checks=15, block_size=128)
@@ -173,34 +215,6 @@ def main() -> None:
 
     total_wall = res.wall_time_s + polish_wall
 
-    # reference-style CPU baseline: same algorithm, same sweep count.
-    # The measurement is deterministic per instance and costs minutes at
-    # the headline size, so it is cached per (m, n, seed, host).
-    cache_path = os.environ.get("BENCH_BASELINE_CACHE",
-                                "/tmp/co_tpu_baseline_cache.json")
-    cache_key = f"{m}x{n}:seed42:block128:{os.uname().nodename}"
-    cache = {}
-    try:
-        with open(cache_path) as f:
-            cache = json.load(f)
-    except Exception:
-        pass
-    cache_key = cache_key + (":fista" if "fista" in method else ":bcd")
-    if cache_key in cache:
-        per_unit = cache[cache_key]
-    else:
-        if "fista" in method:
-            per_unit = numpy_fista_iter_seconds(A_np, b_np, lam1,
-                                                iters=base_sweeps)
-        else:
-            per_unit = numpy_bcd_sweep_seconds(A_np, b_np, lam1, block=128,
-                                               sweeps=base_sweeps)
-        cache[cache_key] = per_unit
-        try:
-            with open(cache_path, "w") as f:
-                json.dump(cache, f)
-        except Exception:
-            pass
     baseline_s = per_unit * max(res.iterations, 1)
 
     print(json.dumps({
