@@ -3,9 +3,11 @@ gap on a dense lasso (default 10k x 100k — the BASELINE.json north-star
 size).  Two phases, both included in the reported time:
 
   1. the fused-Pallas block-coordinate solver on the default device (TPU
-     under the driver): one kernel launch per Gauss-Seidel sweep, A
-     streamed HBM->VMEM once per sweep as an error-free bf16 split, with
-     stall detection at the f32 noise floor (ops/bcd_sweep_pallas.py);
+     under the driver): one kernel launch per Gauss-Seidel sweep, each
+     column block of A streamed HBM->VMEM once and used for BOTH matvecs
+     in full f32 (bf16-split streaming was measured and rejected — see the
+     precision note in ops/bcd_sweep_pallas.py), with stall detection at
+     the f32 noise floor;
   2. support-restricted f64 polish (host f64 only on ~support-many
      columns; device f32-with-margin dual certificate elsewhere), which
      certifies rel_gap <= 1e-6 in float64 (solvers/polish.py).
@@ -224,9 +226,21 @@ def main() -> None:
         "vs_baseline": round(baseline_s / total_wall, 2)
             if total_wall > 0 else float("inf"),
     }))
-    # the fused sweep reads A once per sweep (passes_per_iter=1)
+    # A-passes per unit, from which kernel actually ran (ADVICE r1): the
+    # resident fused sweep reads A once, the m-tiled kernel twice, and bcd
+    # adds one exact residual-refresh pass per gap check; FISTA reads twice
+    # per iteration.
+    if "bcd" in method:
+        from convex_optimization_tpu.ops.bcd_sweep_pallas import (
+            pick_padded_block_size,
+        )
+
+        per_sweep = 1.0 if pick_padded_block_size(m, n, 128) else 2.0
+        passes = per_sweep + 1.0 / 10  # gap_every=10 in _solve_once
+    else:
+        passes = 2.0
     bw = effective_bandwidth(m, n, res.iterations, res.wall_time_s,
-                             passes_per_iter=1.0 if "bcd" in method else 2.0)
+                             passes_per_iter=passes)
     print(
         f"# {method}: sweeps={res.iterations} rel_gap={res.rel_gap:.2e} "
         f"wall={res.wall_time_s:.2f}s it/s={res.iters_per_sec:.1f} "

@@ -39,6 +39,10 @@ from convex_optimization_tpu.models import (
     group_l2,
 )
 from convex_optimization_tpu.api import solve, Result
+# light import (mesh helpers only; sharded solvers stay lazy inside solve):
+# README's `co.parallel.mesh.make_mesh(...)` quickstart needs the subpackage
+# reachable from the bare package import
+from convex_optimization_tpu import parallel
 
 __version__ = "0.1.0"
 
@@ -55,4 +59,5 @@ __all__ = [
     "lambda_max",
     "solve",
     "Result",
+    "parallel",
 ]

@@ -211,7 +211,11 @@ def solve(
     # the timed run's result is what gets returned.
     t0 = time.perf_counter()
     final = jfn(*jargs(make_state(x0)))
-    int(final.k)  # value fetch: the only reliable completion barrier here
+    # value fetch: the only reliable completion barrier here.  This is also
+    # the iteration count REPORTED: it must correspond to the returned
+    # solution (the perturbed timed run below can cross a gap-check/stall
+    # boundary and finish with a different count — ADVICE r1).
+    iters = int(final.k)
     t1 = time.perf_counter()
     # timed run: same solve from a minutely perturbed start — used ONLY for
     # the wall clock (the returned result is the unperturbed first run, so
@@ -222,8 +226,9 @@ def solve(
     t2 = time.perf_counter()
     timed = jfn(*jargs(state_t))
     # barrier INSIDE the timed window: block_until_ready silently no-ops on
-    # relay-backed cached-executable executions, a value fetch cannot
-    iters = int(timed.k)
+    # relay-backed cached-executable executions, a value fetch cannot.
+    # (The fetched count is used only as the barrier; see `iters` above.)
+    _ = int(timed.k)
     t3 = time.perf_counter()
 
     wall = t3 - t2

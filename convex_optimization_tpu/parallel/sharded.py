@@ -204,17 +204,24 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
     nb_loc = n_blocks // n_shards
     n_loc = problem.n // n_shards
     bs_loc = n_loc // nb_loc
-    use_pallas_local = False
+    # per-chip fused sweep: same kernels, run on the local slab inside
+    # shard_map.  'resident' = whole (m, B) column block in VMEM (1 HBM
+    # read/sweep); 'tiled' = the m-tiled streamed kernel (the documented
+    # per-chip-slab path for config-5-sized slabs).  Dispatch each mode
+    # explicitly — gating on (resident OR tiled) but calling only the
+    # resident kernel silently fell back to the 10x-slower jnp oracle
+    # whenever only the tiled kernel was eligible (ADVICE r1).
+    pallas_mode = None
     if cfg.use_pallas:
-        # per-chip fused sweep: same kernel, run on the local slab inside
-        # shard_map (the 'per-chip slab' target in bcd_sweep_pallas_tiled)
         from convex_optimization_tpu.ops.bcd_sweep_pallas import eligible
         from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
             eligible_tiled,
         )
 
-        use_pallas_local = (eligible(problem.m, n_loc, bs_loc)
-                            or eligible_tiled(problem.m, n_loc, bs_loc))
+        if eligible(problem.m, n_loc, bs_loc):
+            pallas_mode = "resident"
+        elif eligible_tiled(problem.m, n_loc, bs_loc):
+            pallas_mode = "tiled"
 
     def local_solve(A_loc, b, lam1, weights_loc, bL_loc, cn_loc,
                     s: SolveState) -> SolveState:
@@ -223,9 +230,17 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
         allreduce = _consensus_fn(cfg)
         prob_loc = Problem(A=A_loc, b=b, penalty=pen_loc, lam2=lam2)
         order = jnp.arange(nb_loc, dtype=jnp.int32)
+        if pallas_mode == "tiled":
+            from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
+                to_block_major,
+            )
+
+            # one-time block-major relayout of the local slab, hoisted out
+            # of the while_loop (as solvers/bcd.py does)
+            A_blocks_loc = to_block_major(A_loc, nb_loc)
 
         def local_sweep(x_loc, r_in, keep):
-            if use_pallas_local:
+            if pallas_mode == "resident":
                 from convex_optimization_tpu.ops.bcd_sweep_pallas import (
                     bcd_sweep_pallas,
                 )
@@ -233,6 +248,16 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
                 return bcd_sweep_pallas(
                     prob_loc, x_loc, r_in, bL_loc,
                     step_scale=cfg.step_scale, keep_mask=keep,
+                )
+            if pallas_mode == "tiled":
+                from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
+                    bcd_sweep_pallas_tiled,
+                )
+
+                return bcd_sweep_pallas_tiled(
+                    prob_loc, x_loc, r_in, bL_loc,
+                    step_scale=cfg.step_scale, keep_mask=keep,
+                    A_blocks=A_blocks_loc,
                 )
             return bcd_sweep_ref(
                 prob_loc, x_loc, r_in, bL_loc, order,

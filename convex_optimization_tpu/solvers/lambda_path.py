@@ -123,7 +123,10 @@ def lambda_path(
         z = dual_witness(p, x_warm, r)
         info = duality_gap(p, x_warm, r, z=z)
         r_norm = jnp.linalg.norm(r)
-        gap_safe = 1.25 * jnp.abs(info.gap) + 4 * eps * jnp.abs(info.primal)
+        # the f32 gap carries the same O(log2(m) eps |primal|) reduction
+        # error as the witnesses — inflate by gamma (matches polish_fast),
+        # not a bare 4 eps (4.5x too small at m=10k: an unsafe discard)
+        gap_safe = 1.25 * jnp.abs(info.gap) + gamma * jnp.abs(info.primal)
         # cushion covers the SOLVED point's witness too (the polish_fast
         # extension argument), so the compact certificate stays valid for
         # the full problem at this lam
