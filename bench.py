@@ -156,15 +156,21 @@ def main() -> None:
     method = os.environ.get("BENCH_METHOD", "auto")
     base_sweeps = int(os.environ.get("BENCH_BASE_SWEEPS", 2))
     if method == "auto":
-        # RESIDENT-eligible sizes use the fused-Pallas Gauss-Seidel solver
-        # (measured ~5x faster than FISTA to tolerance).  Larger m falls to
-        # FISTA: the m-tiled kernel is correct but MXU-6-pass-bound
-        # (~83 GB/s effective) while XLA FISTA streams at ~716 GB/s.
+        # VPU-eligible sizes (the transposed-layout kernel covers the
+        # 10k x 100k headline: 1 HBM read/sweep at ~531 GB/s, Gauss-Seidel
+        # convergence) use the fused-Pallas solver; sizes past its VMEM
+        # gate fall to FISTA (717 GB/s per pass but 2 passes/iter and
+        # slower convergence per pass).
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            pick_padded_block_size_vpu,
+        )
         from convex_optimization_tpu.ops.bcd_sweep_pallas import (
             pick_padded_block_size,
         )
 
-        method = ("bcd_pallas" if pick_padded_block_size(m, n, 128)
+        method = ("bcd_pallas"
+                  if (pick_padded_block_size_vpu(m, n, 128)
+                      or pick_padded_block_size(m, n, 128))
                   else "fista")
 
     import jax
@@ -234,8 +240,13 @@ def main() -> None:
         from convex_optimization_tpu.ops.bcd_sweep_pallas import (
             pick_padded_block_size,
         )
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            pick_padded_block_size_vpu,
+        )
 
-        per_sweep = 1.0 if pick_padded_block_size(m, n, 128) else 2.0
+        resident = (pick_padded_block_size_vpu(m, n, 128)
+                    or pick_padded_block_size(m, n, 128))
+        per_sweep = 1.0 if resident else 2.0
         passes = per_sweep + 1.0 / 10  # gap_every=10 in _solve_once
     else:
         passes = 2.0

@@ -71,6 +71,24 @@ def _pad_columns(problem: Problem, pad: int) -> Problem:
     return dataclasses.replace(problem, A=A, penalty=pen)
 
 
+def _perturb_state(state, problem: Problem):
+    """Equivalent solver state with fresh input bytes (defeats relay-level
+    result memoization for the timed run) built WITHOUT re-running
+    init_state: x is nudged by ~1e-6 in one coordinate and r (when the
+    state carries one) is updated incrementally with the matching single
+    column of A — so the timed run needs no A @ x matvec program (which
+    costs a multi-minute XLA compile through the relay)."""
+    import jax.numpy as jnp
+
+    d = jnp.asarray(1e-6, problem.dtype)
+    x_t = state.x.at[0].add(d)
+    updates = dict(x=x_t)
+    if hasattr(state, "r"):
+        r_t = state.r + d * problem.A[:, 0]
+        updates.update(r=r_t, x_prev=x_t, r_prev=r_t)
+    return state._replace(**updates)
+
+
 def _perturb_start(x0, problem: Problem):
     """A start equivalent to x0 but with fresh bytes (one element nudged by
     ~1e-6): defeats relay-level (program, inputs) result memoization so the
@@ -159,9 +177,17 @@ def solve(
             from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
                 pick_padded_block_size_tiled,
             )
+            from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+                pick_padded_block_size_vpu,
+            )
 
-            picked = (pick_padded_block_size(problem.m, problem.n,
-                                             cfg.block_size, multiple)
+            # preference order = measured per-sweep speed: transposed VPU
+            # (1 HBM read, ~531 GB/s at 10k x 100k) > MXU resident (1 read,
+            # HIGHEST-bound) > m-tiled (2 reads, MXU-6-pass-bound)
+            picked = (pick_padded_block_size_vpu(problem.m, problem.n,
+                                                 cfg.block_size, multiple)
+                      or pick_padded_block_size(problem.m, problem.n,
+                                                cfg.block_size, multiple)
                       or pick_padded_block_size_tiled(
                           problem.m, problem.n, cfg.block_size, multiple))
             if picked is not None:
@@ -181,11 +207,32 @@ def solve(
             bs = bcd_mod.pick_block_size(problem.n, cfg.block_size,
                                          multiple_of=multiple)
         n_blocks = solve_problem.n // bs
-        block_L = block_spectral_norms_sq(solve_problem.A, n_blocks)
+        A_t = None
+        if cfg.use_pallas:
+            from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+                eligible_vpu,
+                to_tblock_major,
+            )
+
+            if eligible_vpu(solve_problem.m, solve_problem.n, bs,
+                            solve_problem.dtype):
+                from convex_optimization_tpu.ops.matvec_pallas import (
+                    block_power_t,
+                )
+
+                # one-time transposed relayout (outside the solve program)
+                # + per-block Lipschitz via the in-kernel power iteration:
+                # one pass over A, and — decisively on the relay — a
+                # seconds-scale compile where the batched-einsum power
+                # iteration and any XLA-dot-bearing program cost minutes
+                A_t = to_tblock_major(solve_problem.A, n_blocks)
+                block_L = block_power_t(A_t)
+        if A_t is None:
+            block_L = block_spectral_norms_sq(solve_problem.A, n_blocks)
         make_state = lambda x: fista_mod.init_state(solve_problem, x, cfg,
                                                     keep_mask=base_mask)
         jfn = bcd_mod.bcd
-        jargs = lambda s: (solve_problem, block_L, s, cfg, col_norms)
+        jargs = lambda s: (solve_problem, block_L, s, cfg, col_norms, A_t)
         problem = solve_problem  # for _perturb_start sizing below
     elif method == "admm":
         from convex_optimization_tpu.solvers import admm as admm_mod
@@ -210,7 +257,8 @@ def solve(
     # The warm call pays compile + one untimed execution and is discarded;
     # the timed run's result is what gets returned.
     t0 = time.perf_counter()
-    final = jfn(*jargs(make_state(x0)))
+    state0 = make_state(x0)
+    final = jfn(*jargs(state0))
     # value fetch: the only reliable completion barrier here.  This is also
     # the iteration count REPORTED: it must correspond to the returned
     # solution (the perturbed timed run below can cross a gap-check/stall
@@ -220,8 +268,7 @@ def solve(
     # timed run: same solve from a minutely perturbed start — used ONLY for
     # the wall clock (the returned result is the unperturbed first run, so
     # the nudge can never leak into the solution)
-    x0_t = _perturb_start(x0, problem)
-    state_t = make_state(x0_t)
+    state_t = _perturb_state(state0, problem)
     jax.block_until_ready(state_t.x)
     t2 = time.perf_counter()
     timed = jfn(*jargs(state_t))

@@ -217,8 +217,11 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
         from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
             eligible_tiled,
         )
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import eligible_vpu
 
-        if eligible(problem.m, n_loc, bs_loc):
+        if eligible_vpu(problem.m, n_loc, bs_loc):
+            pallas_mode = "vpu"      # fastest: 1 HBM read, VPU f32
+        elif eligible(problem.m, n_loc, bs_loc):
             pallas_mode = "resident"
         elif eligible_tiled(problem.m, n_loc, bs_loc):
             pallas_mode = "tiled"
@@ -238,8 +241,24 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             # one-time block-major relayout of the local slab, hoisted out
             # of the while_loop (as solvers/bcd.py does)
             A_blocks_loc = to_block_major(A_loc, nb_loc)
+        if pallas_mode == "vpu":
+            from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+                to_tblock_major,
+            )
+
+            A_t_loc = to_tblock_major(A_loc, nb_loc)
 
         def local_sweep(x_loc, r_in, keep):
+            if pallas_mode == "vpu":
+                from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+                    bcd_sweep_vpu,
+                )
+
+                return bcd_sweep_vpu(
+                    prob_loc, x_loc, r_in, bL_loc,
+                    step_scale=cfg.step_scale, keep_mask=keep,
+                    A_t=A_t_loc,
+                )
             if pallas_mode == "resident":
                 from convex_optimization_tpu.ops.bcd_sweep_pallas import (
                     bcd_sweep_pallas,

@@ -45,9 +45,18 @@ def pick_block_size(n: int, target: int = 256, *, multiple_of: int = 1) -> int:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
-        cfg: SolverConfig, col_norms: jax.Array | None = None) -> SolveState:
+        cfg: SolverConfig, col_norms: jax.Array | None = None,
+        A_t: jax.Array | None = None) -> SolveState:
     """Run block-CD sweeps until rel. duality gap <= cfg.tol or max_iters
-    (counted in sweeps).  block_L holds per-block ||A_j||_2^2 (no lam2)."""
+    (counted in sweeps).  block_L holds per-block ||A_j||_2^2 (no lam2).
+
+    Pass ``A_t = to_tblock_major(problem.A, n_blocks)`` (api.solve does)
+    to hoist the one-time relayout out of this program AND route the
+    residual refresh + dual witness through the Pallas matvec kernels —
+    the compiled solve program then contains NO full-size XLA dot, which
+    is what keeps its relay compile in seconds instead of minutes
+    (ops/matvec_pallas.py).
+    """
     if col_norms is None and cfg.screen_every > 0:
         col_norms = problem.col_norms()
     n_blocks = block_L.shape[0]
@@ -62,9 +71,27 @@ def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
             bcd_sweep_pallas_tiled,
             eligible_tiled,
         )
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            bcd_sweep_vpu,
+            eligible_vpu,
+            to_tblock_major,
+        )
 
         B = problem.n // n_blocks
-        if eligible(problem.m, problem.n, B, problem.dtype):
+        if eligible_vpu(problem.m, problem.n, B, problem.dtype):
+            # transposed-layout VPU kernel: 1 HBM read of A per sweep at
+            # near-HBM speed, no MXU-HIGHEST scratch — preferred wherever
+            # its (B, m) block fits VMEM (covers the 10k x 100k headline).
+            if A_t is None:
+                A_t = to_tblock_major(problem.A, n_blocks)
+
+            def sweep_fn(st: SolveState):
+                return bcd_sweep_vpu(
+                    problem, st.x, st.r, block_L,
+                    step_scale=cfg.step_scale, keep_mask=st.keep_mask,
+                    A_t=A_t,
+                )
+        elif eligible(problem.m, problem.n, B, problem.dtype):
             def sweep_fn(st: SolveState):  # A_j resident: 1 HBM read/sweep
                 return bcd_sweep_pallas(
                     problem, st.x, st.r, block_L,
@@ -98,18 +125,32 @@ def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
                 step_scale=cfg.step_scale, keep_mask=st.keep_mask,
             )
 
+    def refresh_and_check(s: SolveState) -> SolveState:
+        # exact residual refresh once per check: the sweeps maintain r
+        # incrementally (n_blocks rank-B updates per sweep), so rounding
+        # drift accumulates across sweeps; one extra pass over A every
+        # gap_every sweeps pins it back to machine precision
+        if A_t is not None:
+            # Pallas refresh + witness: no XLA dot in the compiled program
+            from convex_optimization_tpu.ops.matvec_pallas import (
+                ax_minus_b_t,
+                neg_at_r_t,
+            )
+
+            r_fresh = ax_minus_b_t(A_t, s.x, problem.b)
+            z = neg_at_r_t(A_t, r_fresh, s.x, problem.lam2)
+            return _check_and_record(problem, s._replace(r=r_fresh), cfg,
+                                     col_norms, z=z)
+        s = s._replace(r=problem.residual(s.x))
+        return _check_and_record(problem, s, cfg, col_norms)
+
     def body(s: SolveState) -> SolveState:
         def one(_, st):
             x, r = sweep_fn(st)
             return st._replace(x=x, r=r, k=st.k + 1)
 
         s = lax.fori_loop(0, cfg.gap_every, one, s)
-        # exact residual refresh once per check: the sweeps maintain r
-        # incrementally (n_blocks rank-B updates per sweep), so rounding
-        # drift accumulates across sweeps; one extra pass over A every
-        # gap_every sweeps pins it back to machine precision
-        s = s._replace(r=problem.residual(s.x))
-        return _check_and_record(problem, s, cfg, col_norms)
+        return refresh_and_check(s)
 
     def cond(s: SolveState) -> jax.Array:
         go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
@@ -117,7 +158,7 @@ def bcd(problem: Problem, block_L: jax.Array, state: SolveState,
             go = go & (s.stall < cfg.stall_checks)
         return go
 
-    state = _check_and_record(problem, state, cfg, col_norms)
+    state = refresh_and_check(state)
     return lax.while_loop(cond, body, state)
 
 

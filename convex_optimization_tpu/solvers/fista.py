@@ -74,10 +74,16 @@ def fista_step(problem: Problem, L_total, state: SolveState,
 
 
 def _check_and_record(problem: Problem, state: SolveState, cfg: SolverConfig,
-                      col_norms) -> SolveState:
-    """Duality-gap check + history record (+ gap-safe screening update)."""
+                      col_norms, z: jax.Array | None = None) -> SolveState:
+    """Duality-gap check + history record (+ gap-safe screening update).
+
+    Pass a precomputed ``z`` (= -A^T r - lam2 x) to supply the witness from
+    a Pallas kernel — solvers on the transposed layout do this so their
+    compiled program contains no full-size XLA dot (see ops/matvec_pallas).
+    """
     x, r = state.x, state.r
-    z = dual_witness(problem, x, r)         # one extra A^T pass
+    if z is None:
+        z = dual_witness(problem, x, r)     # one extra A^T pass
     info = gap_from_parts(
         rho_dot_b=-jnp.vdot(r, problem.b),
         rho_aug_sq=jnp.vdot(r, r) + problem.lam2 * jnp.vdot(x, x),
@@ -95,8 +101,15 @@ def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,
                keep_mask: jax.Array | None = None) -> SolveState:
     n = problem.n
     dtype = problem.dtype
-    x = jnp.zeros((n,), dtype) if x0 is None else x0.astype(dtype)
-    r = problem.residual(x)
+    if x0 is None:
+        # r(0) = -b exactly: skips a full A @ x matvec, which through the
+        # relay also costs a multi-minute XLA compile (ops/matvec_pallas.py
+        # rationale) just to multiply by zeros
+        x = jnp.zeros((n,), dtype)
+        r = -problem.b.astype(dtype)
+    else:
+        x = x0.astype(dtype)
+        r = problem.residual(x)
     if keep_mask is None:
         keep_mask = jnp.ones((n,), bool)
     big = jnp.asarray(jnp.inf, dtype)

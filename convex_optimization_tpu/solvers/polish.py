@@ -11,8 +11,9 @@ SURVEY.md section 7.4 anticipated exactly this).  To CERTIFY the 1e-6 grade
      ~5e-6 the safe sphere is tight, so the kept set is a small superset of
      the support;
   2. compact the problem to the kept columns;
-  3. run FISTA in float64 on the compacted problem, warm-started at the f32
-     solution;
+  3. solve the compacted problem in float64 on the host, warm-started at
+     the f32 solution (cyclic coordinate descent ``_cd64`` on the support
+     path; FISTA ``_fista64`` on the screened-set paths);
   4. scatter back and re-certify in f64.
 
 The whole phase is plain NumPy on the host: the compacted problem is tiny
@@ -126,12 +127,34 @@ def _gap_from_parts(r, b, lam2, pen, x, z):
     return gap, primal, rel, alpha
 
 
+def _gather_cols(A, idx, dtype=np.float64):
+    """Column gather (+ cast) with contiguous reads AND writes.
+
+    ``A[:, idx].astype(f64)`` first materializes a C-ordered fancy-index
+    copy — with the column-major host matrices every write lands a full
+    row-stride apart, measured at ~75 MB/s effective on this host (the
+    round-1 "gather variance" of 5-22 s in the polish phase was exactly
+    this).  Gathering column-by-column into a preallocated F-ordered output
+    keeps each 4m-byte read and 8m-byte write contiguous and fuses the f64
+    cast; the Python loop overhead is microseconds per column.
+    """
+    m = A.shape[0]
+    # np.zeros, NOT np.empty: faulting fresh pages in during the strided
+    # gather writes measured 20-30 MB/s on this host (THP/compaction
+    # stalls), while calloc-backed zero pages fault at full speed — the
+    # round-1 "5-22 s gather variance" was exactly this allocator state.
+    out = np.zeros((m, len(idx)), dtype, order="F")
+    for k, j in enumerate(idx):
+        out[:, k] = A[:, j]
+    return out
+
+
 def _sparse_residual(A, x, b, chunk=4096):
     """r = A x - b in f64 exploiting sparsity of x (A may be f32)."""
     nz = np.nonzero(x)[0]
     if len(nz) == 0:
         return -b.astype(np.float64)
-    r = A[:, nz].astype(np.float64) @ x[nz]
+    r = _gather_cols(A, nz) @ x[nz]
     return r - b
 
 
@@ -256,7 +279,7 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     if A_host is None:
         As = np.asarray(jax.device_get(A_sub_dev), np.float64)
     else:
-        As = A_host[:, idx].astype(np.float64)
+        As = _gather_cols(A_host, idx)
     b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
                    dtype=np.float64)
     xs = np.asarray(jax.device_get(x), np.float64)[idx]
@@ -292,17 +315,16 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
     keep_idx = np.arange(n_s)
     col_norms = np.sqrt((As * As).sum(axis=0) + lam2)
 
-    if L is None:
-        # host power iteration (only for small problems / the oracle
-        # path; polish_fast passes a device-computed L — 48 host passes
-        # over a GB-scale f64 matrix would dominate the whole phase)
-        v = np.random.default_rng(0).standard_normal(As.shape[1])
-        v /= np.linalg.norm(v)
-        for _ in range(24):
-            u = As.T @ (As @ v)
-            v = u / max(np.linalg.norm(u), 1e-300)
-        u = As @ v
-        L = 1.05 * float(u @ u) + lam2
+    backtrack = L is None
+    if backtrack:
+        # Backtracking (Beck-Teboulle: L only ever doubles) from the cheap
+        # LOWER bound max_j ||A_j||^2 <= ||A||^2.  This replaced both the
+        # 24-pass host power iteration (GB-scale f64 passes) and the
+        # device-side spectral_norm_sq — the latter cost a full-size XLA
+        # compile through the relay (~1-2 min, never cached across
+        # processes) per cold bench run.  A doubling costs one extra gemv
+        # pair; log2(L*/L0) is ~5-8 doublings in practice.
+        L = max(float((col_norms ** 2).max()), 1e-12)
     # NOTE: dropping columns never increases the spectral norm, so this L
     # stays a valid (and tight) bound across every re-screening shrink.
     step = 1.0 / L
@@ -319,8 +341,21 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
             y = xs + beta * (xs - x_prev)
             r_y = r + beta * (r - r_prev)
             g = As.T @ r_y + lam2 * y
-            x_new = pen_s.prox(y - step * g, step)
-            r_new = As @ x_new - b
+            while True:
+                x_new = pen_s.prox(y - step * g, step)
+                r_new = As @ x_new - b
+                if not backtrack:
+                    break
+                # majorizer test for the smooth part f = 0.5||.||^2 aug:
+                # f(x_new) <= f(y) + <grad f(y), d> + (L/2)||d||^2
+                d = x_new - y
+                lhs = 0.5 * (r_new @ r_new + lam2 * (x_new @ x_new))
+                rhs = (0.5 * (r_y @ r_y + lam2 * (y @ y))
+                       + float(g @ d) + 0.5 * L * float(d @ d))
+                if lhs <= rhs * (1.0 + 1e-12) + 1e-300:
+                    break
+                L *= 2.0
+                step = 1.0 / L
             if float((y - x_new) @ (x_new - xs)) > 0.0:
                 t_next, x_prev, r_prev = 1.0, x_new, r_new
             else:
@@ -340,7 +375,7 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
                 drop = w + radius * col_norms < pen_s.lam1
             if drop.any():
                 keep = ~drop
-                As = np.ascontiguousarray(As[:, keep])
+                As = _gather_cols(As, np.nonzero(keep)[0], As.dtype)
                 xs, x_prev = xs[keep], x_prev[keep]
                 col_norms = col_norms[keep]
                 keep_idx = keep_idx[keep]
@@ -351,6 +386,123 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
                 t_mom = 1.0  # restart momentum after the geometry change
                 # step stays valid: L(subset) <= L (see note above)
     return xs, keep_idx, k, rel, gap, primal, r
+
+
+def _gemv_t_mixed(As32, r64, lam2=0.0, xs64=None, chunk=1024):
+    """z = -(As^T r) - lam2 x in f64 from f32-stored As, chunked so the
+    implicit f32->f64 upcast temp stays ~80 MB (NumPy would otherwise
+    materialize a full f64 copy of As per call)."""
+    width = As32.shape[1]
+    z = np.empty(width, np.float64)
+    for c0 in range(0, width, chunk):
+        c1 = min(c0 + chunk, width)
+        z[c0:c1] = -(As32[:, c0:c1].astype(np.float64).T @ r64)
+    if lam2 != 0.0 and xs64 is not None:
+        z -= lam2 * xs64
+    return z
+
+
+def _residual_sparse32(As32, xs64, b64):
+    """r = As xs - b in f64 via per-column axpys on the nonzeros of xs —
+    streams only the active f32 columns."""
+    r = -b64.copy()
+    for j in np.nonzero(xs64)[0]:
+        r += xs64[j] * As32[:, j].astype(np.float64)
+    return r
+
+
+def _cd64(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
+          rescreen: bool = True):
+    """f64 cyclic coordinate descent on the compacted problem — the
+    classical lasso "shooting" solver (the algorithm family glmnet/celer
+    use for exactly this dense-panel regime).  Returns the same tuple as
+    ``_fista64``: (x, keep_idx, sweeps, rel_gap, gap, primal, r).
+
+    Why CD instead of host FISTA for the support solve (measured at the
+    10k x 100k headline, |S|=7036):
+      * exact per-coordinate Lipschitz ||A_j||^2 + lam2 from the column
+        norms — no spectral-norm estimate, no backtracking;
+      * As is stored FLOAT32 (the problem data is exactly f32) and each
+        column is cast once per visit into a reused cache-resident f64
+        buffer, so a sweep streams only 4m bytes per column — half the
+        f64 layout's traffic, and the dot + axpy both hit L2;
+      * Gauss-Seidel convergence: ~10-25 sweeps from the f32 warm start
+        vs ~32 FISTA iterations x 2 full f64 gemv passes (13.4 s).
+
+    The ARITHMETIC is all float64 (f32 values are exactly representable),
+    so the certificate math is unchanged.  rescreen=True drops columns by
+    the plain gap-safe sphere (radius sqrt(2*gap), exact f64 — no cushion
+    needed: the caller recomputes the full-problem certificate from
+    scratch, so a drop here can never affect soundness, only the sweep
+    width).  l1 / nonneg_l1 only.
+    """
+    m, width = As32.shape
+    keep_idx = np.arange(width)
+    # column norms: einsum with f64 accumulation, no matrix-sized temp
+    col_sq = np.einsum("ij,ij->j", As32, As32, dtype=np.float64) + lam2
+    col_norms = np.sqrt(col_sq)
+    lam1 = pen_s.lam1
+    nonneg = pen_s.kind == "nonneg_l1"
+    xs = xs.copy()
+    r = _residual_sparse32(As32, xs, b)
+    ajbuf = np.empty(m, np.float64)
+    sweeps = 0
+    rel = gap = primal = np.inf
+    while sweeps < max_sweeps:
+        for _ in range(gap_every):
+            for j in range(As32.shape[1]):
+                np.copyto(ajbuf, As32[:, j])      # one 4m-byte stream read
+                xj = xs[j]
+                g = float(ajbuf @ r) + lam2 * xj
+                v = xj - g / col_sq[j]
+                tl = lam1 / col_sq[j]
+                if nonneg:
+                    xn = v - tl if v > tl else 0.0
+                else:
+                    xn = (v - tl if v > tl
+                          else (v + tl if v < -tl else 0.0))
+                if xn != xj:
+                    r += ajbuf * (xn - xj)        # cache-hot axpy
+                    xs[j] = xn
+            sweeps += 1
+        # exact residual refresh pins incremental f64 drift (negligible
+        # per sweep, but cheap relative to the gap-check gemv below)
+        r = _residual_sparse32(As32, xs, b)
+        zs = _gemv_t_mixed(As32, r, lam2, xs)
+        gap, primal, rel, alpha = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
+        if rel <= tol:
+            break
+        if rescreen:
+            radius = np.sqrt(2.0 * max(gap, 0.0))
+            w = alpha * zs
+            drop = ((np.abs(w) + radius * col_norms < lam1)
+                    if not nonneg else (w + radius * col_norms < lam1))
+            drop &= xs == 0.0
+            if drop.any():
+                keep = ~drop
+                As32 = _gather_cols(As32, np.nonzero(keep)[0], As32.dtype)
+                xs = xs[keep]
+                col_sq, col_norms = col_sq[keep], col_norms[keep]
+                keep_idx = keep_idx[keep]
+                # xs unchanged on kept coords and dropped coords were 0,
+                # so r is unaffected by the compaction
+    return xs, keep_idx, sweeps, rel, gap, primal, r
+
+
+def _witness_colnorms_dev(A, r32, lam2):
+    """ONE device program for the full-width f32 pieces of the support
+    certificate: the dual witness A^T r and the column norms.  Folding them
+    into a single jit matters on the relay, where every distinct full-size
+    program pays a fresh 1-2 minute compile per process.
+
+    The witness must stay on the DEVICE: XLA reduces with O(log m) tree
+    depth, which is what the (ceil(log2 m)+4)*eps margin assumes.  A host
+    BLAS sgemv accumulates in O(m/width) partial sums — its rounding error
+    would exceed the margin ~100x at m=10k, making the certificate unsound.
+    """
+    z = -(A.T @ r32)
+    cn = jnp.sqrt(jnp.sum(A * A, axis=0) + lam2)
+    return z, cn
 
 
 def polish_support(problem, x, *, tol: float = 1e-6,
@@ -402,14 +554,7 @@ def polish_support(problem, x, *, tol: float = 1e-6,
     # deterministic f32 margin for the device-side dual-witness pass
     eps = float(np.finfo(np.float32).eps)
     gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
-    cn = np.asarray(jax.device_get(problem.col_norms()), np.float64)
-    cn_safe = cn * (1.0 + 4 * eps) + 1e-12
 
-    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
-
-    # L(A_S) <= L(A) for any column subset, so ONE fixed-shape device power
-    # iteration covers every expansion round (per-round subset shapes would
-    # each pay a fresh XLA compile through the relay — measured ~30-60s).
     def tick(label, t_prev):
         now = time.perf_counter()
         if verbose:
@@ -419,30 +564,38 @@ def polish_support(problem, x, *, tol: float = 1e-6,
         return now
 
     tp = tick("setup", t0)
-    L64 = 1.05 * float(jax.device_get(spectral_norm_sq(problem.A))) + lam2
-    tp = tick("device-L", tp)
 
     best = None
     for _round in range(max_expand + 1):
+        # f32 STORAGE (half the gather bytes and half the sweep traffic);
+        # all arithmetic downstream is f64 on exactly-representable values
         if A_host is None:
             As = np.asarray(
-                jax.device_get(problem.A[:, jnp.asarray(S)]), np.float64)
+                jax.device_get(problem.A[:, jnp.asarray(S)]), np.float32,
+                order="F")
         else:
-            As = A_host[:, S].astype(np.float64)
+            As = _gather_cols(A_host, S, np.float32)
         tp = tick(f"gather(|S|={len(S)})", tp)
+        S_full = S
         pen_s = _NpPenalty(pen.kind, lam1, 0, None, len(S))
         xs = x_np[S]
-        xs, sub_idx, k, _, _, _, r = _fista64(
-            As, b, lam2, pen_s, xs, tol * 0.25, max_iters, gap_every,
-            L=L64)
+        # f64 cyclic coordinate descent (see _cd64: exact per-column
+        # Lipschitz, ~1.2-1.5 passes/sweep, GS convergence) with plain
+        # gap-safe re-screening — drops here can never affect soundness
+        # (the full certificate below is recomputed from scratch), only
+        # the per-sweep width.
+        xs, sub_idx, k, _, _, _, r = _cd64(
+            As, b, lam2, pen_s, xs, tol * 0.5, max_iters)
         S = S[sub_idx]
-        tp = tick(f"fista64(k={k})", tp)
+        tp = tick(f"cd64(sweeps={k})", tp)
 
         # FULL-problem certificate with the conservative dual norm:
-        #   exact f64 on S; device f32 + margin elsewhere
+        #   exact f64 on the gathered set; device f32 + margin elsewhere
         r_dev = jnp.asarray(r, jnp.float32)
-        z_f32 = np.asarray(jax.device_get(
-            -(problem.A.T @ r_dev)), np.float64)
+        z_dev, cn_dev = _witness_colnorms_dev(problem.A, r_dev, lam2)
+        z_f32 = np.asarray(jax.device_get(z_dev), np.float64)
+        cn_safe = (np.asarray(jax.device_get(cn_dev), np.float64)
+                   * (1.0 + 4 * eps) + 1e-12)
         tp = tick("device-witness", tp)
         if lam2 != 0.0:
             xfull32 = np.zeros(n, np.float32)
@@ -452,8 +605,14 @@ def polish_support(problem, x, *, tol: float = 1e-6,
         margin = gamma * cn_safe * r_norm
         ub = (np.abs(z_f32) + margin if pen.kind == "l1"
               else np.maximum(z_f32 + margin, 0.0))
-        z_S = -(As[:, :] .T @ r) - lam2 * xs       # exact f64 on S
-        ub[S] = np.abs(z_S) if pen.kind == "l1" else np.maximum(z_S, 0.0)
+        # exact f64 witnesses on the FULL gathered set (S_full superset of
+        # the possibly-rescreened S): As already lives in memory, and exact
+        # values there can only tighten the dual bound
+        x_sf = np.zeros(len(S_full), np.float64)
+        x_sf[sub_idx] = xs
+        z_S = _gemv_t_mixed(As, r, lam2, x_sf)
+        ub[S_full] = np.abs(z_S) if pen.kind == "l1" \
+            else np.maximum(z_S, 0.0)
 
         def certify(ub_now):
             alpha = 1.0 / max(1.0, float(ub_now.max()) / lam1)
@@ -470,17 +629,18 @@ def polish_support(problem, x, *, tol: float = 1e-6,
             # columns over: replace their witnesses with exact f64 values
             # (a host gather of just those columns) before expanding
             near = np.setdiff1d(
-                np.nonzero(ub >= lam1 * (1.0 - 1e-6))[0], S)
+                np.nonzero(ub >= lam1 * (1.0 - 1e-6))[0], S_full)
             if len(near) > 8192:
                 # bound the exact-refinement gather: only the columns whose
                 # margined witness is largest can decide the dual norm
                 near = near[np.argsort(-ub[near])[:8192]]
             if len(near):
                 A_near = (np.asarray(jax.device_get(
-                              problem.A[:, jnp.asarray(near)]), np.float64)
+                              problem.A[:, jnp.asarray(near)]), np.float32,
+                              order="F")
                           if A_host is None
-                          else A_host[:, near].astype(np.float64))
-                z_near = -(A_near.T @ r)
+                          else _gather_cols(A_host, near, np.float32))
+                z_near = _gemv_t_mixed(A_near, r)
                 tp = tick(f"near-exact(|near|={len(near)})", tp)
                 ub[near] = (np.abs(z_near) if pen.kind == "l1"
                             else np.maximum(z_near, 0.0))
@@ -553,7 +713,7 @@ def polish(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
         keep[:1] = True     # x* = 0 certified; see polish_fast's guard
         idx = np.array([0])
         keep, pen_s = pen.compact(keep)
-    As = A[:, idx].astype(np.float64)
+    As = _gather_cols(A, idx)
     xs_init = x0[idx]
 
     xs, sub_idx, k, rel, gap, primal, r = _fista64(
