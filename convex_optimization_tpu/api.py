@@ -133,6 +133,7 @@ def solve(
         cfg_overrides.setdefault("momentum", False)
     if method == "bcd_pallas":
         cfg_overrides.setdefault("use_pallas", True)
+    admm_force = bool(cfg_overrides.pop("admm_force", False))
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 
@@ -214,8 +215,15 @@ def solve(
                 to_tblock_major,
             )
 
-            if eligible_vpu(solve_problem.m, solve_problem.n, bs,
-                            solve_problem.dtype):
+            # HBM guard: the hoisted A_t is a persistent full-size buffer
+            # next to A (and, when padding was needed, the padded copy) —
+            # 3 copies of a 4 GB matrix OOM a 16 GB chip (measured)
+            copies = 2 if solve_problem is problem else 3
+            fits_hbm = (copies * solve_problem.m * solve_problem.n
+                        * jnp.dtype(solve_problem.dtype).itemsize
+                        <= 13 * 1024 ** 3)
+            if fits_hbm and eligible_vpu(solve_problem.m, solve_problem.n,
+                                         bs, solve_problem.dtype):
                 from convex_optimization_tpu.ops.matvec_pallas import (
                     block_power_t,
                 )
@@ -237,6 +245,22 @@ def solve(
     elif method == "admm":
         from convex_optimization_tpu.solvers import admm as admm_mod
 
+        # Documented scale fence (BASELINE.md): the exact x-update rests on
+        # an f32 eigh of the min(m,n)-dim Gram; beyond ~4k dims the f32
+        # eigenbasis of an ill-conditioned Gram is inaccurate enough that
+        # the solve stalls near 1e-2 relative gap (measured 10k x 100k,
+        # round 1) while silently burning max_iters.  Pass admm_force=True
+        # to run anyway (e.g. for well-conditioned A or loose tolerances).
+        if min(problem.m, problem.n) > 4096 and not admm_force:
+            import warnings
+
+            warnings.warn(
+                "admm at min(m, n) > 4096 stalls ~1e-2 rel gap (f32 eigh "
+                "accuracy; see BASELINE.md) — falling back to FISTA. "
+                "Pass admm_force=True to run ADMM anyway.",
+                stacklevel=2)
+            return solve(problem, "fista", x0=x0, cfg=cfg, mesh=mesh,
+                         certify=certify)
         fac = admm_mod.admm_setup(problem)
         make_state = lambda x: admm_mod.init_state(problem, x, cfg)
         jfn = admm_mod.admm

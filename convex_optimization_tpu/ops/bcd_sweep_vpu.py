@@ -29,9 +29,12 @@ Layout notes (Mosaic block rules: trailing dim divisible by 128 OR equal to
 the array dim):
   * A_t: (n_blocks, B, m) — per-step block (1, B, m); trailing dim = m =
     array dim, so any m % 8 == 0 works (10000 included);
-  * x / mask / x_out: (n_blocks, B, 1) — per-step (1, B, 1) blocks keep the
-    whole pipeline in (B, 1) column orientation, so NO sublane<->lane
-    transposes are needed anywhere (Mosaic cannot reshape across them);
+  * x / mask / x_out: (n_blocks, B) ROW-oriented with per-step (1, B)
+    blocks — 1-lane-wide (.., B, 1) operands forced a pathological XLA
+    relayout at every pallas_call boundary (measured ~8 ms per reshape and
+    far worse inside solver loops).  The (B, 1) column orientation the
+    lane/sublane reductions need exists only inside the kernel, via exact
+    identity-dot transposes (Mosaic cannot reshape across sublanes/lanes);
   * r: (1, m) full-array block, resident accumulator across all grid steps;
   * the multiply-reduce is chunked over lanes (static python loop) to bound
     the (B, chunk) product temporaries.
@@ -87,18 +90,26 @@ def pick_padded_block_size_vpu(m: int, n: int, target: int = 128,
     """(block, pad) such that the kernel is eligible on n+pad columns (pad
     appended as zero columns by the caller); None if nothing fits.  B sits
     on SUBLANES here, so it only needs 8-alignment (plus group alignment),
-    not the MXU kernels' 128."""
+    not the MXU kernels' 128.
+
+    A pad-free block size is STRONGLY preferred when one exists: padding
+    materializes a second full-size copy of A on device (jnp.pad) next to
+    the original and the transposed layout — at the 10k x 100k headline
+    that third 4 GB buffer OOMs a 16 GB v5e chip (measured round 2).
+    n = 100000 divides at B = 80, so the headline runs pad-free."""
     import math
 
     step = 8 * multiple_of // math.gcd(8, multiple_of)
-    best = None
+    best = best_nopad = None
     b = step
     while b <= max(target, step):
         n_pad = -(-n // b) * b
         if eligible_vpu(m, n_pad, b):
             best = (b, n_pad - n)
+            if n_pad == n:
+                best_nopad = (b, 0)
         b += step
-    return best
+    return best_nopad or best
 
 
 def to_tblock_major(A: jax.Array, n_blocks: int) -> jax.Array:
@@ -112,9 +123,39 @@ def _chunks(m: int):
     return [(c0, min(c0 + _LANE_CHUNK, m)) for c0 in range(0, m, _LANE_CHUNK)]
 
 
+def _t_col_to_row(v_col, B):
+    """(B, 1) -> (1, B) via an identity dot (EXACT at HIGHEST: the 3-term
+    split of x times the exact split of 1.0 reconstructs x in f32).  Mosaic
+    cannot reshape across sublanes/lanes, and tiny MXU passes are ~free."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+           ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        v_col, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _t_row_to_col(v_row, B):
+    """(1, B) -> (B, 1) via an identity dot (see _t_col_to_row)."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+           ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        eye, v_row, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel(kind: str, gsize: int, B: int, m: int,
             scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref,
             r_init_ref, x_out_ref, r_ref):
+    # Vector operands are ROW-oriented ((n_blocks, B) arrays, (1, B)
+    # per-step blocks): an (n_blocks, B, 1) operand layout forces XLA to
+    # relayout 1-lane-wide tiles at every pallas_call boundary — measured
+    # ~8 ms per reshape and pathologically worse inside solver loops.  The
+    # (B, 1) column orientation the reductions need exists only INSIDE the
+    # kernel, entered/left via the exact identity-dot transposes above.
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -122,14 +163,15 @@ def _kernel(kind: str, gsize: int, B: int, m: int,
         r_ref[:] = r_init_ref[:]
 
     # ---- phase 1: g = sum_lanes(A_t[j] * r) -> (B, 1), chunked ----
-    g = jnp.zeros((B, 1), jnp.float32)
+    g_col = jnp.zeros((B, 1), jnp.float32)
     for c0, c1 in _chunks(m):
         a = A_ref[0, :, c0:c1]            # (B, c)
         rr = r_ref[:, c0:c1]              # (1, c)
-        g = g + jnp.sum(a * rr, axis=1, keepdims=True)
+        g_col = g_col + jnp.sum(a * rr, axis=1, keepdims=True)
 
-    # ---- prox in (B, 1) orientation ----
-    xj = x_ref[0]                         # (B, 1)
+    # ---- prox in (1, B) row orientation ----
+    g = _t_col_to_row(g_col, B)           # (1, B)
+    xj = x_ref[0]                         # (1, B)
     lam1 = scalars_ref[0]
     lam2 = scalars_ref[1]
     g = g + lam2 * xj
@@ -141,25 +183,24 @@ def _kernel(kind: str, gsize: int, B: int, m: int,
     elif kind == "nonneg_l1":
         x_new = jnp.maximum(v - tl, 0.0)
     elif kind == "group_l2":
-        # groups are contiguous runs of gsize sublanes; Mosaic cannot
-        # reshape across sublanes, so group sums go through tiny one-hot
-        # matmuls (exact: HIGHEST = error-free 3-term splits):
-        #   gn2 = M (v*v),  scale = M^T scale_g,  M in {0,1}^(gpb x B)
+        # groups are contiguous runs of gsize lanes; Mosaic cannot reshape
+        # across lanes, so group sums go through tiny one-hot matmuls
+        # (exact at HIGHEST):  gn2 = (v*v) M,  scale = scale_g M^T
         gpb = B // gsize
-        col_g = jax.lax.broadcasted_iota(jnp.int32, (gpb, B), 1) // gsize
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (gpb, B), 0)
-        M = (col_g == row_i).astype(jnp.float32)
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (B, gpb), 0) // gsize
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (B, gpb), 1)
+        M = (lane_g == gcol).astype(jnp.float32)
         gn2 = jax.lax.dot_general(
-            M, v * v, (((1,), (0,)), ((), ())),
+            v * v, M, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # (gpb, 1)
+            precision=jax.lax.Precision.HIGHEST)            # (1, gpb)
         gn = jnp.sqrt(gn2)
-        wj = w_ref[0]                                       # (gpb, 1)
+        wj = w_ref[0]                                       # (1, gpb)
         scale_g = jnp.maximum(0.0, 1.0 - tl * wj / jnp.maximum(gn, 1e-30))
         scale = jax.lax.dot_general(
-            M, scale_g, (((0,), (0,)), ((), ())),
+            scale_g, M, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # (B, 1)
+            precision=jax.lax.Precision.HIGHEST)            # (1, B)
         x_new = v * scale
     else:
         raise ValueError(f"unknown penalty kind {kind!r}")
@@ -167,8 +208,9 @@ def _kernel(kind: str, gsize: int, B: int, m: int,
     # masked coords go to 0 (screened => certified zero); the residual
     # update below absorbs the change exactly
     x_new = jnp.where(mask_ref[0] > 0, x_new, 0.0)
-    dx = x_new - xj
+    dx_row = x_new - xj
     x_out_ref[0] = x_new
+    dx = _t_row_to_col(dx_row, B)         # (B, 1)
 
     # ---- phase 2: r += sum_sublanes(A_t[j] * dx), SAME resident block ----
     for c0, c1 in _chunks(m):
@@ -220,7 +262,7 @@ def bcd_sweep_vpu(
         if B % gsize != 0:
             raise ValueError(
                 f"block size {B} must contain whole groups (gsize={gsize})")
-        w = penalty._gweights(A.dtype).reshape(n_blocks, B // gsize, 1)
+        w = penalty._gweights(A.dtype).reshape(n_blocks, 1, B // gsize)
     else:
         w = jnp.zeros((n_blocks, 1, 1), A.dtype)  # unused dummy
 
@@ -228,7 +270,7 @@ def bcd_sweep_vpu(
                          jnp.asarray(lam2, A.dtype)])
     steps = (step_scale / (block_L + lam2)).astype(A.dtype)     # (n_blocks,)
     mask = (jnp.ones((n,), A.dtype) if keep_mask is None
-            else keep_mask.astype(A.dtype)).reshape(n_blocks, B, 1)
+            else keep_mask.astype(A.dtype)).reshape(n_blocks, 1, B)
 
     kernel = functools.partial(_kernel, kind, gsize, B, m)
     x_out, r_out = pl.pallas_call(
@@ -237,25 +279,25 @@ def bcd_sweep_vpu(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),               # steps
-            pl.BlockSpec((1, w.shape[1], 1), lambda j: (j, 0, 0),
+            pl.BlockSpec((1, 1, w.shape[2]), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),               # weights
             pl.BlockSpec((1, B, m), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),               # A_t stream
-            pl.BlockSpec((1, B, 1), lambda j: (j, 0, 0),
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),               # x_j
-            pl.BlockSpec((1, B, 1), lambda j: (j, 0, 0),
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),               # mask_j
             pl.BlockSpec((1, m), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),               # r init
         ],
         out_specs=[
-            pl.BlockSpec((1, B, 1), lambda j: (j, 0, 0),
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),               # x out
             pl.BlockSpec((1, m), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),               # r out
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, B, 1), A.dtype),
+            jax.ShapeDtypeStruct((n_blocks, 1, B), A.dtype),
             jax.ShapeDtypeStruct((1, m), A.dtype),
         ],
         cost_estimate=pl.CostEstimate(
@@ -264,6 +306,6 @@ def bcd_sweep_vpu(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scalars, steps, w, A_t, x.reshape(n_blocks, B, 1), mask,
+    )(scalars, steps, w, A_t, x.reshape(n_blocks, 1, B), mask,
       r.reshape(1, m))
     return x_out.reshape(n), r_out.reshape(m)

@@ -159,6 +159,16 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
             return go
 
         s = _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
+        if cfg.unroll_checks:
+            # static unroll with a convergence mask: exists to let the
+            # ring-consensus path run at all on XLA:CPU, which SIGABRTs on
+            # ppermute inside a while_loop body (use small max_iters!)
+            for _ in range(-(-cfg.max_iters // cfg.gap_every)):
+                go = cond(s)
+                s_next = body(s)
+                s = jax.tree.map(
+                    lambda old, new: jnp.where(go, new, old), s, s_next)
+            return s
         return lax.while_loop(cond, body, s)
 
     sspec = _state_specs()
@@ -204,84 +214,113 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
     nb_loc = n_blocks // n_shards
     n_loc = problem.n // n_shards
     bs_loc = n_loc // nb_loc
-    # per-chip fused sweep: same kernels, run on the local slab inside
-    # shard_map.  'resident' = whole (m, B) column block in VMEM (1 HBM
-    # read/sweep); 'tiled' = the m-tiled streamed kernel (the documented
-    # per-chip-slab path for config-5-sized slabs).  Dispatch each mode
-    # explicitly — gating on (resident OR tiled) but calling only the
-    # resident kernel silently fell back to the 10x-slower jnp oracle
-    # whenever only the tiled kernel was eligible (ADVICE r1).
-    pallas_mode = None
-    if cfg.use_pallas:
+    def _slab_mode(n_h: int):
+        # per-chip fused sweep: same kernels, run on a column slab inside
+        # shard_map.  'vpu' = transposed VPU kernel (1 HBM read, fastest);
+        # 'resident' = MXU (m, B) block in VMEM; 'tiled' = m-tiled streamed
+        # kernel (config-5-sized slabs).  Explicit per-mode dispatch —
+        # gating on (resident OR tiled) but calling only the resident
+        # kernel silently fell back to the jnp oracle (ADVICE r1).
+        if not cfg.use_pallas:
+            return None
         from convex_optimization_tpu.ops.bcd_sweep_pallas import eligible
         from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
             eligible_tiled,
         )
         from convex_optimization_tpu.ops.bcd_sweep_vpu import eligible_vpu
 
-        if eligible_vpu(problem.m, n_loc, bs_loc):
-            pallas_mode = "vpu"      # fastest: 1 HBM read, VPU f32
-        elif eligible(problem.m, n_loc, bs_loc):
-            pallas_mode = "resident"
-        elif eligible_tiled(problem.m, n_loc, bs_loc):
-            pallas_mode = "tiled"
+        if eligible_vpu(problem.m, n_h, bs_loc):
+            return "vpu"
+        if eligible(problem.m, n_h, bs_loc):
+            return "resident"
+        if eligible_tiled(problem.m, n_h, bs_loc):
+            return "tiled"
+        return None
+
+    # ring consensus: split the local sweep in two halves and issue the
+    # first half's chunked ring reduction BEFORE the second half computes.
+    # The first ppermute chain has no data dependency on the second half's
+    # sweep, so the latency-hiding scheduler overlaps consensus with
+    # compute (the ring-attention / PP-overlap analog, SURVEY.md 2.2).
+    # The arithmetic is identical to the unsplit sweep: the local sweep is
+    # sequential over blocks either way, and
+    #   allreduce(dr) = allreduce(dr_half1) + allreduce(dr_half2).
+    split = cfg.consensus == "ring" and nb_loc >= 2
 
     def local_solve(A_loc, b, lam1, weights_loc, bL_loc, cn_loc,
                     s: SolveState) -> SolveState:
         pen_loc = _local_penalty(pen, n_shards, lam1, weights_loc
                                  if kind == "group_l2" else None)
         allreduce = _consensus_fn(cfg)
-        prob_loc = Problem(A=A_loc, b=b, penalty=pen_loc, lam2=lam2)
-        order = jnp.arange(nb_loc, dtype=jnp.int32)
-        if pallas_mode == "tiled":
-            from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
-                to_block_major,
-            )
 
-            # one-time block-major relayout of the local slab, hoisted out
-            # of the while_loop (as solvers/bcd.py does)
-            A_blocks_loc = to_block_major(A_loc, nb_loc)
-        if pallas_mode == "vpu":
-            from convex_optimization_tpu.ops.bcd_sweep_vpu import (
-                to_tblock_major,
-            )
-
-            A_t_loc = to_tblock_major(A_loc, nb_loc)
-
-        def local_sweep(x_loc, r_in, keep):
-            if pallas_mode == "vpu":
+        def make_slab(lo: int, hi: int):
+            """Sweep closure for local blocks [lo, hi) (static bounds)."""
+            nb_h = hi - lo
+            cols = slice(lo * bs_loc, hi * bs_loc)
+            A_h = A_loc[:, cols]
+            if kind == "group_l2":
+                gpb = pen_loc.ngroups // nb_loc
+                pen_h = Penalty(
+                    lam1=lam1, kind=kind, ngroups=gpb * nb_h,
+                    weights=(None if pen_loc.weights is None
+                             else pen_loc.weights[lo * gpb:hi * gpb]))
+            else:
+                pen_h = pen_loc
+            prob_h = Problem(A=A_h, b=b, penalty=pen_h, lam2=lam2)
+            bL_h = bL_loc[lo:hi]
+            mode = _slab_mode(nb_h * bs_loc)
+            A_t_h = A_blocks_h = None
+            if mode == "vpu":
                 from convex_optimization_tpu.ops.bcd_sweep_vpu import (
-                    bcd_sweep_vpu,
+                    to_tblock_major,
                 )
 
-                return bcd_sweep_vpu(
-                    prob_loc, x_loc, r_in, bL_loc,
-                    step_scale=cfg.step_scale, keep_mask=keep,
-                    A_t=A_t_loc,
-                )
-            if pallas_mode == "resident":
-                from convex_optimization_tpu.ops.bcd_sweep_pallas import (
-                    bcd_sweep_pallas,
-                )
-
-                return bcd_sweep_pallas(
-                    prob_loc, x_loc, r_in, bL_loc,
-                    step_scale=cfg.step_scale, keep_mask=keep,
-                )
-            if pallas_mode == "tiled":
+                A_t_h = to_tblock_major(A_h, nb_h)
+            elif mode == "tiled":
                 from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled import (
-                    bcd_sweep_pallas_tiled,
+                    to_block_major,
                 )
 
-                return bcd_sweep_pallas_tiled(
-                    prob_loc, x_loc, r_in, bL_loc,
-                    step_scale=cfg.step_scale, keep_mask=keep,
-                    A_blocks=A_blocks_loc,
-                )
-            return bcd_sweep_ref(
-                prob_loc, x_loc, r_in, bL_loc, order,
-                step_scale=cfg.step_scale, keep_mask=keep,
-            )
+                A_blocks_h = to_block_major(A_h, nb_h)
+            order_h = jnp.arange(nb_h, dtype=jnp.int32)
+
+            def sweep_h(x_h, r_in, keep_h):
+                if mode == "vpu":
+                    from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+                        bcd_sweep_vpu,
+                    )
+
+                    return bcd_sweep_vpu(
+                        prob_h, x_h, r_in, bL_h,
+                        step_scale=cfg.step_scale, keep_mask=keep_h,
+                        A_t=A_t_h)
+                if mode == "resident":
+                    from convex_optimization_tpu.ops.bcd_sweep_pallas import (
+                        bcd_sweep_pallas,
+                    )
+
+                    return bcd_sweep_pallas(
+                        prob_h, x_h, r_in, bL_h,
+                        step_scale=cfg.step_scale, keep_mask=keep_h)
+                if mode == "tiled":
+                    from convex_optimization_tpu.ops.bcd_sweep_pallas_tiled \
+                        import bcd_sweep_pallas_tiled
+
+                    return bcd_sweep_pallas_tiled(
+                        prob_h, x_h, r_in, bL_h,
+                        step_scale=cfg.step_scale, keep_mask=keep_h,
+                        A_blocks=A_blocks_h)
+                return bcd_sweep_ref(
+                    prob_h, x_h, r_in, bL_h, order_h,
+                    step_scale=cfg.step_scale, keep_mask=keep_h)
+
+            return cols, sweep_h
+
+        if split:
+            mid = nb_loc // 2
+            slabs = [make_slab(0, mid), make_slab(mid, nb_loc)]
+        else:
+            slabs = [make_slab(0, nb_loc)]
 
         def sweep(s: SolveState) -> SolveState:
             x_loc, r = s.x, s.r
@@ -289,7 +328,26 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             # residual, so mark the carry varying for shard_map's VMA checks
             r_in = (lax.pcast(r, (BLOCKS,), to="varying")
                     if cfg.consensus == "psum" else r)  # no-op w/o VMA
-            x_new, r_virtual = local_sweep(x_loc, r_in, s.keep_mask)
+            if len(slabs) == 1:
+                cols0, sweep0 = slabs[0]
+                x_new, r_virtual = sweep0(x_loc, r_in, s.keep_mask)
+            else:
+                from convex_optimization_tpu.parallel.collectives import (
+                    ring_psum_chunked,
+                )
+
+                xs_new, drs = [], []
+                r_cur = r_in
+                for cols_h, sweep_fn_h in slabs:
+                    x_h, r_next = sweep_fn_h(x_loc[cols_h], r_cur,
+                                             s.keep_mask[cols_h])
+                    # issue this half's consensus immediately: its ring
+                    # steps are independent of the NEXT half's compute
+                    drs.append(ring_psum_chunked(r_next - r_cur, BLOCKS, 2))
+                    xs_new.append(x_h)
+                    r_cur = r_next
+                x_new = jnp.concatenate(xs_new)
+                r_virtual = r_cur
             # Chips sweep their own blocks Gauss-Seidel against the shared
             # residual; summing all chips' updates (Jacobi across chips) can
             # overshoot when column slabs correlate.  Safeguard: exact line
@@ -300,7 +358,12 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             # as cross-chip interference vanishes.  One m-vector psum (needed
             # anyway) + three scalar psums.
             dx = x_new - x_loc
-            dr = allreduce(r_virtual - r_in)
+            if len(slabs) == 1:
+                dr = allreduce(r_virtual - r_in)
+            else:
+                dr = drs[0]
+                for d in drs[1:]:
+                    dr = dr + d
             lin = jnp.vdot(r, dr) + lam2 * lax.psum(jnp.vdot(x_loc, dx), BLOCKS)
             den = jnp.vdot(dr, dr) + lam2 * lax.psum(jnp.vdot(dx, dx), BLOCKS)
             # value_diff avoids f32 difference-of-large-sums cancellation,
@@ -329,6 +392,16 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
             return go
 
         s = _gap_check_local(pen_loc, lam2, A_loc, b, s, cn_loc, screen)
+        if cfg.unroll_checks:
+            # static unroll with a convergence mask: exists to let the
+            # ring-consensus path run at all on XLA:CPU, which SIGABRTs on
+            # ppermute inside a while_loop body (use small max_iters!)
+            for _ in range(-(-cfg.max_iters // cfg.gap_every)):
+                go = cond(s)
+                s_next = body(s)
+                s = jax.tree.map(
+                    lambda old, new: jnp.where(go, new, old), s, s_next)
+            return s
         return lax.while_loop(cond, body, s)
 
     sspec = _state_specs()

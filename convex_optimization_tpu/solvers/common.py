@@ -32,7 +32,14 @@ class SolverConfig:
                                # noise-floor detection, see solvers/polish.py)
     consensus: str = "psum"    # sharded residual consensus: "psum" (one
                                # fused all-reduce) or "ring" (ppermute ring,
-                               # overlappable — parallel/collectives.py)
+                               # overlapped with the second half-sweep —
+                               # parallel/collectives.py, parallel/sharded.py)
+    unroll_checks: bool = False  # sharded solvers: statically unroll the
+                               # check loop instead of lax.while_loop.  Use
+                               # with SMALL max_iters only.  Exists because
+                               # XLA:CPU aborts on ppermute inside a
+                               # while_loop body, so the ring-consensus path
+                               # can only be validated on a CPU mesh this way
 
     @property
     def max_checks(self) -> int:

@@ -79,3 +79,18 @@ def test_admm_robust_on_ill_conditioned():
     res_f = solve(prob, "fista", tol=1e-4, max_iters=5000)
     np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_f.x),
                                atol=5e-3)
+
+
+def test_admm_scale_fence_falls_back_with_warning():
+    """Above the documented f32-eigh accuracy fence (min(m,n) > 4096),
+    solve('admm') must warn and fall back to FISTA instead of silently
+    burning max_iters at a ~1e-2 stall (api.solve guard, BASELINE.md)."""
+    import pytest as _pytest
+
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 4104, 4160)
+    with _pytest.warns(UserWarning, match="admm_force"):
+        res = solve(inst.problem, "admm", tol=1e-4, max_iters=1500)
+    assert res.method == "fista"
+    assert res.converged

@@ -89,7 +89,9 @@ def test_eligibility_covers_headline():
     # north-star size, so the fused kernel serves the headline bench
     assert eligible_vpu(10_000, 100_096, 128)
     assert fits_vmem_vpu(10_000, 128)
-    assert pick_padded_block_size_vpu(10_000, 100_000, 128) == (128, 96)
+    # pad-free block sizes are preferred (a padded A is a 3rd full-size
+    # device copy — OOM at the headline); n=100000 divides at B=80
+    assert pick_padded_block_size_vpu(10_000, 100_000, 128) == (80, 0)
     # at config-5 slab m the (128, m) block no longer fits, but the picker
     # recovers residency by shrinking B (sublane-only alignment) — the
     # fused path still covers 50k-row slabs
