@@ -182,6 +182,9 @@ def main(argv=None) -> int:
                             screen_every=1 if screen else 0,
                             stall_checks=args.stall_checks)
         path_kw = {}
+        if args.method != "fista":
+            path_kw["method"] = args.method   # bcd/bcd_pallas paths reuse
+                                              # one compiled GS program
         if args.path_compact:
             path_kw["compact"] = True
         if mesh_n:

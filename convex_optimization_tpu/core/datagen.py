@@ -157,6 +157,15 @@ def make_lasso_instance_host(
         x_true=jnp.asarray(x_true),
         support=jnp.asarray(support),
     )
+    # Force the multi-GB host->device upload of A to COMPLETE here, in
+    # untimed setup: the axon relay streams transfers lazily in a
+    # background thread, and the VPU-kernel solve path never consumes the
+    # original A (it reads the transposed A_t; unused jit args are
+    # dropped), so an unforced upload keeps draining for MINUTES and
+    # starves every subsequent host-side phase (measured: 0.2 s polish
+    # gathers became 8-21 s).  A value fetch of an A-consuming scalar is
+    # the only reliable barrier on the relay (block_until_ready no-ops).
+    float(jnp.vdot(inst.problem.A[:, 0], inst.problem.A[:, 0]))
     return inst, A, b
 
 

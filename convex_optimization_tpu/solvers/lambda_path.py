@@ -64,11 +64,20 @@ def lambda_path(
     lambdas: jax.Array | None = None,
     compact: bool = False,
     mesh: jax.sharding.Mesh | None = None,
+    method: str = "fista",
 ) -> PathResult:
-    """Warm-started path with the jitted FISTA solver.
+    """Warm-started path with one compiled solver program.
 
-    With ``mesh`` the path runs on the column-sharded FISTA: lam1 is data,
-    so every path point reuses ONE compiled shard_map program — warm starts
+    lam1 is DATA (a traced Penalty leaf), so every path point reuses the
+    single jitted program regardless of ``method``:
+      * 'fista' / 'ista' — the original path solver;
+      * 'bcd' / 'bcd_pallas' — Gauss-Seidel sweeps; with the VPU kernel
+        eligible this is the fastest per-point solver by a wide margin
+        (one HBM read of A per sweep + GS convergence), and the transposed
+        relayout + block-Lipschitz kernels are hoisted ONCE for the whole
+        path.
+
+    With ``mesh`` the path runs on the column-sharded FISTA: warm starts
     never leave the device mesh."""
     if mesh is not None:
         if compact:
@@ -85,10 +94,65 @@ def lambda_path(
 
     col_norms = problem.col_norms() if (cfg.screen_every > 0 or compact) \
         else None
-    L_total = spectral_norm_sq(problem.A) + problem.lam2
 
     xs, gaps, iters, kept = [], [], [], []
     x_warm = None
+
+    if not compact and method in ("bcd", "bcd_pallas"):
+        import dataclasses as _dc
+
+        from convex_optimization_tpu.solvers.bcd import bcd, pick_block_size
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            eligible_vpu,
+            to_tblock_major,
+        )
+        from convex_optimization_tpu.ops.power_iter import (
+            block_spectral_norms_sq,
+        )
+
+        cfg = _dc.replace(cfg, use_pallas=(method == "bcd_pallas"))
+        multiple = 1
+        if problem.penalty.kind == "group_l2":
+            multiple = problem.n // problem.penalty.ngroups
+        bs = pick_block_size(problem.n, cfg.block_size, multiple_of=multiple)
+        n_blocks = problem.n // bs
+        A_t = None
+        if cfg.use_pallas and eligible_vpu(problem.m, problem.n, bs,
+                                           problem.dtype):
+            from convex_optimization_tpu.ops.matvec_pallas import (
+                block_power_t,
+            )
+
+            A_t = to_tblock_major(problem.A, n_blocks)
+            block_L = block_power_t(A_t)
+        else:
+            block_L = block_spectral_norms_sq(problem.A, n_blocks)
+        for lam in lambdas:
+            p = problem.with_lam1(lam)
+            # warm start WITHOUT init_state's residual matvec (an XLA dot
+            # would cost a multi-minute relay compile; the kernel refresh
+            # is already compiled as part of the solve program family)
+            state = init_state(p, None, cfg)
+            if x_warm is not None:
+                if A_t is not None:
+                    from convex_optimization_tpu.ops.matvec_pallas import (
+                        ax_minus_b_t,
+                    )
+
+                    r_w = ax_minus_b_t(A_t, x_warm, p.b)
+                else:
+                    r_w = p.residual(x_warm)
+                state = state._replace(x=x_warm, r=r_w, x_prev=x_warm,
+                                       r_prev=r_w, x_best=x_warm)
+            state = bcd(p, block_L, state, cfg, col_norms, A_t)
+            x_warm = state.x_best
+            xs.append(state.x_best)
+            gaps.append(state.best_rel_gap)
+            iters.append(state.k)
+        return PathResult(lambdas=lambdas, xs=jnp.stack(xs),
+                          gaps=jnp.stack(gaps), iters=jnp.stack(iters))
+
+    L_total = spectral_norm_sq(problem.A) + problem.lam2
 
     if not compact:
         for lam in lambdas:

@@ -155,3 +155,25 @@ def test_working_set_certify():
     res = solve(inst.problem, "fista_ws", tol=1e-8, max_iters=3000,
                 stall_checks=10, certify=True)
     assert res.converged and res.rel_gap <= 1e-8
+
+
+def test_lambda_path_bcd_matches_fista():
+    """The bcd/bcd_pallas warm-started path (one compiled GS program, VPU
+    kernels where eligible) must match the FISTA path point-for-point."""
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(21), 96, 384)
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=5, block_size=48)
+    ref = lambda_path(inst.problem, cfg, path_len=5)
+    # both paths floor at the f32 noise level at the smallest lambdas;
+    # parity of the solutions is the real check
+    floor = max(3.0 * float(jnp.max(ref.gaps)), 2e-6)
+    for method in ("bcd", "bcd_pallas"):
+        got = lambda_path(inst.problem, cfg, path_len=5, method=method)
+        assert float(jnp.max(got.gaps)) <= floor
+        # two eps-optimal points can differ ~sqrt(gap) on near-degenerate
+        # coordinates; parity within that class is the check
+        np.testing.assert_allclose(np.asarray(got.xs), np.asarray(ref.xs),
+                                   atol=3e-3)
