@@ -42,6 +42,25 @@ def ring_psum(x: jax.Array, axis_name: str) -> jax.Array:
     return acc
 
 
+def reduce_scatter_gather(x: jax.Array, axis_name: str) -> jax.Array:
+    """All-reduce(sum) as reduce-scatter + all-gather — the Ulysses /
+    all-to-all-family layout swap (SURVEY.md section 2.2): the summed
+    residual briefly lives SHARDED (each chip owns m/p rows after the
+    psum_scatter) before the all-gather restores the replicated layout.
+    Equivalent to ``lax.psum`` (tested); on a torus each phase uses every
+    ICI link, and XLA can schedule the gather phase independently of
+    compute that only needs the caller's own shard.  Requires the axis
+    size to divide ``x.shape[0]``.
+    """
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return x
+    if x.shape[0] % n != 0:
+        return lax.psum(x, axis_name)   # ragged rows: no tiled scatter
+    shard = lax.psum_scatter(x, axis_name, scatter_dimension=0, tiled=True)
+    return lax.all_gather(shard, axis_name, axis=0, tiled=True)
+
+
 def ring_psum_chunked(x: jax.Array, axis_name: str, n_chunks: int = 2
                       ) -> jax.Array:
     """Ring all-reduce issued as ``n_chunks`` independent sub-reductions.

@@ -44,9 +44,17 @@ from convex_optimization_tpu.solvers.common import (
 
 
 def _consensus_fn(cfg: SolverConfig):
-    """The residual-consensus all-reduce: flat psum or ppermute ring."""
+    """The residual-consensus all-reduce: flat psum, ppermute ring, or
+    reduce-scatter + all-gather (the Ulysses/all-to-all layout-swap
+    analog, SURVEY.md 2.2)."""
     if cfg.consensus == "ring":
         return lambda v: ring_psum(v, BLOCKS)
+    if cfg.consensus == "reduce_scatter":
+        from convex_optimization_tpu.parallel.collectives import (
+            reduce_scatter_gather,
+        )
+
+        return lambda v: reduce_scatter_gather(v, BLOCKS)
     if cfg.consensus != "psum":
         raise ValueError(f"unknown consensus {cfg.consensus!r}")
     return lambda v: lax.psum(v, BLOCKS)

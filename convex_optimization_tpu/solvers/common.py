@@ -31,9 +31,11 @@ class SolverConfig:
                                # checks without a new best rel_gap (f32
                                # noise-floor detection, see solvers/polish.py)
     consensus: str = "psum"    # sharded residual consensus: "psum" (one
-                               # fused all-reduce) or "ring" (ppermute ring,
-                               # overlapped with the second half-sweep —
-                               # parallel/collectives.py, parallel/sharded.py)
+                               # fused all-reduce), "ring" (ppermute ring,
+                               # overlapped with the second half-sweep), or
+                               # "reduce_scatter" (reduce-scatter +
+                               # all-gather, the Ulysses/all-to-all layout
+                               # swap) — parallel/collectives.py
     unroll_checks: bool = False  # sharded solvers: statically unroll the
                                # check loop instead of lax.while_loop.  Use
                                # with SMALL max_iters only.  Exists because

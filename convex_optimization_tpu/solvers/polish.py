@@ -223,27 +223,45 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
     w = None if weights is None else np.asarray(jax.device_get(weights))
     pen = _NpPenalty(problem.penalty.kind, lam1, problem.penalty.ngroups, w, n)
 
-    # --- device pass: f32 witness, gap, col norms (HBM-speed) ---
-    x_dev = jnp.asarray(x, problem.dtype)
-    r_dev = problem.residual(x_dev)
-    z_dev = dual_witness(problem, x_dev, r_dev)
-    info = gap_from_parts(
-        rho_dot_b=-jnp.vdot(r_dev, problem.b),
-        rho_aug_sq=jnp.vdot(r_dev, r_dev) + lam2 * jnp.vdot(x_dev, x_dev),
-        g_value=problem.penalty.value(x_dev),
-        dual_norm_value=problem.penalty.dual_norm(z_dev),
-    )
-    cn_dev = problem.col_norms()
-    z0 = np.asarray(jax.device_get(z_dev), np.float64)
-    cn = np.asarray(jax.device_get(cn_dev), np.float64)
-    r_norm = float(jax.device_get(jnp.linalg.norm(r_dev)))
-    gap0 = float(jax.device_get(info.gap))
-    primal0 = float(jax.device_get(info.primal))
-    alpha0 = float(jax.device_get(info.alpha))
+    if A_host is not None:
+        # --- host pass: everything in chunked f64, ZERO device programs.
+        # The device variant below costs three full-size XLA-dot programs
+        # whose relay compiles take minutes each (measured at the config-4
+        # twin); one chunked f64 host pass over A is seconds and makes the
+        # rounding margins trivially tight (f64 eps).
+        x_np0 = np.asarray(jax.device_get(x), np.float64)
+        b64 = np.asarray(jax.device_get(problem.b) if b_host is None
+                         else b_host, np.float64)
+        r0 = _sparse_residual(A_host, x_np0, b64)
+        z0, cn = _witness_and_colnorms(A_host, r0, lam2, x_np0)
+        gap0, primal0, rel0, alpha0 = _gap_from_parts(
+            r0, b64, lam2, pen, x_np0, z0)
+        r_norm = float(np.linalg.norm(r0))
+        eps = float(np.finfo(np.float64).eps)
+    else:
+        # --- device pass: f32 witness, gap, col norms (HBM-speed) ---
+        x_dev = jnp.asarray(x, problem.dtype)
+        r_dev = problem.residual(x_dev)
+        z_dev = dual_witness(problem, x_dev, r_dev)
+        info = gap_from_parts(
+            rho_dot_b=-jnp.vdot(r_dev, problem.b),
+            rho_aug_sq=jnp.vdot(r_dev, r_dev)
+            + lam2 * jnp.vdot(x_dev, x_dev),
+            g_value=problem.penalty.value(x_dev),
+            dual_norm_value=problem.penalty.dual_norm(z_dev),
+        )
+        cn_dev = problem.col_norms()
+        z0 = np.asarray(jax.device_get(z_dev), np.float64)
+        cn = np.asarray(jax.device_get(cn_dev), np.float64)
+        r_norm = float(jax.device_get(jnp.linalg.norm(r_dev)))
+        gap0 = float(jax.device_get(info.gap))
+        primal0 = float(jax.device_get(info.primal))
+        alpha0 = float(jax.device_get(info.alpha))
+        eps = float(np.finfo(np.float32).eps)
 
-    # deterministic f32 rounding inflation: |delta z_j| <= gamma ||A_j|| ||r||
-    # (tree-reduction bound), col norms and the gap inflated likewise
-    eps = float(np.finfo(np.float32).eps)
+    # deterministic rounding inflation: |delta z_j| <= gamma ||A_j|| ||r||
+    # (tree-reduction bound for the f32 device pass; vanishingly small for
+    # the f64 host pass), col norms and the gap inflated likewise
     gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
     cn_safe = cn * (1.0 + 4 * eps) + 1e-12
     z_err = gamma * cn_safe * r_norm
@@ -276,18 +294,23 @@ def polish_fast(problem, x, *, tol: float = 1e-6, max_iters: int = 20_000,
         idx = np.array([0])
         keep, pen_s = pen.compact(keep)
 
-    # Lipschitz bound for the compact slab, computed ON DEVICE in f32 and
-    # inflated (f32 power-iteration error << 1%); 48 host passes over a
-    # GB-scale f64 slab would otherwise dominate this phase (measured)
-    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
-
-    A_sub_dev = problem.A[:, jnp.asarray(idx)]
-    L64 = 1.05 * float(jax.device_get(spectral_norm_sq(A_sub_dev))) + lam2
-
     # --- host: f64 compact solve only (no full-width passes) ---
     if A_host is None:
+        # device gather doubles as the transport for As; reuse it for the
+        # compact-slab Lipschitz bound (f32 power iteration, inflated)
+        from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+
+        A_sub_dev = problem.A[:, jnp.asarray(idx)]
+        L64 = 1.05 * float(jax.device_get(spectral_norm_sq(A_sub_dev))) \
+            + lam2
         As = np.asarray(jax.device_get(A_sub_dev), np.float64)
+        del A_sub_dev
     else:
+        # with a host copy the device gather would be a pure HBM liability
+        # (a (m, kept) buffer next to A and the solver's A_t OOM'd the
+        # chip at the config-4 twin, measured); _fista64's backtracking
+        # replaces the explicit L
+        L64 = None
         As = _gather_cols(A_host, idx)
     b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
                    dtype=np.float64)

@@ -90,3 +90,32 @@ def test_ring_bcd_split_sweep_equals_psum_bcd(mesh8):
     assert ring_b.converged == psum_b.converged
     np.testing.assert_allclose(np.asarray(ring_b.x), np.asarray(psum_b.x),
                                atol=2e-4)
+
+
+def test_reduce_scatter_gather_equals_psum(mesh8):
+    x = jnp.linspace(-2, 2, 8 * 64, dtype=jnp.float32)
+
+    from convex_optimization_tpu.parallel.collectives import (
+        reduce_scatter_gather,
+    )
+
+    def f(v):
+        return reduce_scatter_gather(v, BLOCKS), jax.lax.psum(v, BLOCKS)
+
+    rs, flat = jax.jit(jax.shard_map(
+        f, mesh=mesh8, in_specs=P(BLOCKS), out_specs=(P(BLOCKS), P(BLOCKS)),
+    ))(x)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(flat),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_solvers_with_reduce_scatter_consensus(mesh8):
+    """consensus='reduce_scatter' (Ulysses/all-to-all analog) matches the
+    psum solve at the solver level."""
+    inst = make_lasso_instance(jax.random.PRNGKey(31), 64, 256)
+    ref = solve(inst.problem, "fista", mesh=mesh8, tol=1e-5, max_iters=400)
+    rs = solve(inst.problem, "fista", mesh=mesh8, tol=1e-5, max_iters=400,
+               consensus="reduce_scatter")
+    assert rs.converged
+    np.testing.assert_allclose(np.asarray(rs.x), np.asarray(ref.x),
+                               atol=5e-5)

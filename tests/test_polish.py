@@ -139,3 +139,27 @@ def test_polish_support_group_falls_back():
     res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
     ps = polish_support(inst.problem, res.x, tol=1e-8)
     assert ps.rel_gap <= 1e-8
+
+
+@pytest.mark.parametrize("kind,ngroups", [("l1", 0), ("group_l2", 16)])
+def test_polish_fast_host_path(kind, ngroups):
+    """polish_fast with A_host: the chunked-f64 host screen (zero device
+    programs) must produce the same sound certificate as the device path."""
+    from convex_optimization_tpu.core.datagen import make_lasso_instance_host
+    from convex_optimization_tpu.solvers.polish import polish_fast
+
+    inst, A_np, b_np = make_lasso_instance_host(
+        5, 96, 256, penalty_kind=kind, ngroups=ngroups)
+    res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
+    fast = polish_fast(inst.problem, res.x, tol=1e-8,
+                       A_host=A_np, b_host=b_np)
+    assert fast.rel_gap <= 1e-8
+    import dataclasses
+
+    p64 = dataclasses.replace(
+        inst.problem,
+        A=inst.problem.A.astype(jnp.float64),
+        b=inst.problem.b.astype(jnp.float64),
+    )
+    info = duality_gap(p64, jnp.asarray(fast.x))
+    assert float(info.rel_gap) <= 2e-8, float(info.rel_gap)
