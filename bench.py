@@ -150,6 +150,13 @@ def _baseline_per_unit(method, A_np, b_np, lam1, base_sweeps):
 
 
 def main() -> None:
+    # The axon relay client runs PYTHON background threads; with CPython's
+    # default 5 ms GIL switch interval every numpy call in the host-side
+    # polish phase can stall a full quantum behind them on this 1-core VM.
+    # A short interval keeps the solver thread responsive (measured: part
+    # of the residual 5-12 s post-solve gather inflation).
+    sys.setswitchinterval(0.001)
+
     m = int(os.environ.get("BENCH_M", 10_000))
     n = int(os.environ.get("BENCH_N", 100_000))
     tol = float(os.environ.get("BENCH_TOL", 1e-6))

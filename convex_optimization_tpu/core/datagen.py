@@ -51,8 +51,22 @@ def make_lasso_instance(
         # unit-norm columns make per-coordinate Lipschitz constants uniform
         A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
 
-    nnz = max(1, int(round(support_frac * n)))
-    idx = jax.random.choice(k_s, n, shape=(nnz,), replace=False)
+    if penalty_kind == "group_l2" and ngroups > 0:
+        # GROUP-sparse planted signal: support_frac of whole groups.  A
+        # scattered per-column support puts planted coordinates in nearly
+        # every group (5% of 131k columns over 1k groups -> ~6 per group),
+        # which makes the group-lasso instance effectively dense in groups
+        # and meaningless as a structured-sparsity benchmark (measured:
+        # 830/1024 active groups at the config-4 twin).
+        gsize = n // ngroups
+        ng_nz = max(1, int(round(support_frac * ngroups)))
+        gidx = jax.random.choice(k_s, ngroups, shape=(ng_nz,), replace=False)
+        idx = (gidx[:, None] * gsize
+               + jnp.arange(gsize)[None, :]).reshape(-1)
+        nnz = idx.shape[0]
+    else:
+        nnz = max(1, int(round(support_frac * n)))
+        idx = jax.random.choice(k_s, n, shape=(nnz,), replace=False)
     support = jnp.zeros((n,), bool).at[idx].set(True)
     # v + sign(v): planted coefficients are well separated from zero
     # (|x*| >= 1), so support recovery at moderate lam is well defined;
@@ -120,8 +134,17 @@ def make_lasso_instance_host(
         A /= np.linalg.norm(A, axis=0, keepdims=True)
 
     rng = np.random.default_rng(seed + 1)
-    nnz = max(1, int(round(support_frac * n)))
-    idx = rng.choice(n, size=nnz, replace=False)
+    if penalty_kind == "group_l2" and ngroups > 0:
+        # group-sparse planted signal (see make_lasso_instance)
+        gsize = n // ngroups
+        ng_nz = max(1, int(round(support_frac * ngroups)))
+        gidx = rng.choice(ngroups, size=ng_nz, replace=False)
+        idx = (gidx[:, None] * gsize
+               + np.arange(gsize)[None, :]).reshape(-1)
+        nnz = idx.shape[0]
+    else:
+        nnz = max(1, int(round(support_frac * n)))
+        idx = rng.choice(n, size=nnz, replace=False)
     support = np.zeros(n, bool)
     support[idx] = True
     vals = rng.standard_normal(nnz).astype(np.float32)

@@ -179,6 +179,8 @@ class Penalty:
         alpha: jax.Array,
         gap: jax.Array,
         col_norms: jax.Array,
+        r_norm: jax.Array | float = 0.0,
+        primal: jax.Array | float = 0.0,
     ) -> jax.Array:
         """Gap-safe sphere test.  Returns a boolean keep-mask of shape (n,).
 
@@ -187,22 +189,38 @@ class Penalty:
         gap:       duality gap P(x) - D(theta) at the same point
         col_norms: per-column norms of the *augmented* matrix
                    (sqrt(||A_j||^2 + lam2)), shape (n,)
+        r_norm, primal: pass ||r|| and |P(x)| to make the test safe under
+                   the WORKING precision's rounding: the witness carries
+                   |dz_j| <= gamma ||A_j|| ||r|| tree-reduction error and
+                   the gap O(gamma |P|) — without the inflation an ACTIVE
+                   coordinate sits exactly on the sphere boundary and f32
+                   noise discards it (observed on group-sparse instances).
+                   gamma derives from z.dtype, so f64 callers pay nothing.
 
         keep == False certifies x*_j = 0 at this lam1 (safe to fix & freeze).
         """
-        radius = jnp.sqrt(jnp.maximum(2.0 * gap, 0.0))
+        # (log2 m + 4) eps with log2 m <= 28 folded into a constant: the
+        # row count is not known here and 32 eps covers every m <= 2^28
+        gamma = 32.0 * jnp.finfo(z.dtype).eps
+        gap_safe = gap + gamma * jnp.abs(primal)
+        radius = jnp.sqrt(jnp.maximum(2.0 * gap_safe, 0.0))
         witness = alpha * z
+        margin = alpha * gamma * col_norms * r_norm
         if self.kind == "l1":
-            discard = jnp.abs(witness) + radius * col_norms < self.lam1
+            discard = (jnp.abs(witness) + margin
+                       + radius * col_norms < self.lam1)
         elif self.kind == "nonneg_l1":
-            discard = witness + radius * col_norms < self.lam1
+            discard = witness + margin + radius * col_norms < self.lam1
         elif self.kind == "group_l2":
             wg = self._grouped(witness)
             gn = jnp.linalg.norm(wg, axis=1)
             # Frobenius bound on ||A~_g||_2 — safe (>= spectral norm).
             gcol = jnp.sqrt(jnp.sum(self._grouped(col_norms**2), axis=1))
+            # ||z_g + dz_g|| <= ||z_g|| + gamma ||r|| gcol_g  (triangle +
+            # per-column witness error bound aggregated in l2)
+            gmargin = alpha * gamma * r_norm * gcol
             w = self._gweights(z.dtype)
-            gdiscard = gn + radius * gcol < self.lam1 * w
+            gdiscard = gn + gmargin + radius * gcol < self.lam1 * w
             discard = jnp.repeat(gdiscard, z.shape[0] // self.ngroups)
         else:
             raise ValueError(f"unknown penalty kind {self.kind!r}")

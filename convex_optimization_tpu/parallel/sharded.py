@@ -97,8 +97,9 @@ def _gap_check_local(pen_loc: Penalty, lam2, A_loc, b, s: SolveState,
     nnz = lax.psum(jnp.sum(s.x != 0), BLOCKS).astype(jnp.int32)
     keep = s.keep_mask
     if screen:
-        keep = keep & pen_loc.screen_keep(z_loc, info.alpha, info.gap,
-                                          col_norms_loc)
+        keep = keep & pen_loc.screen_keep(
+            z_loc, info.alpha, info.gap, col_norms_loc,
+            r_norm=jnp.sqrt(jnp.vdot(r, r)), primal=info.primal)
     return record_check(s, info, x_loc, nnz, keep)
 
 

@@ -92,7 +92,9 @@ def _check_and_record(problem: Problem, state: SolveState, cfg: SolverConfig,
     )
     keep = state.keep_mask
     if cfg.screen_every > 0:
-        new_keep = problem.penalty.screen_keep(z, info.alpha, info.gap, col_norms)
+        new_keep = problem.penalty.screen_keep(
+            z, info.alpha, info.gap, col_norms,
+            r_norm=jnp.sqrt(jnp.vdot(r, r)), primal=info.primal)
         keep = keep & new_keep
     return record_check(state, info, x, count_nnz(x), keep)
 

@@ -117,9 +117,15 @@ class _NpPenalty:
 
 
 def _gap_from_parts(r, b, lam2, pen, x, z):
-    """(gap, primal, rel_gap, alpha) in f64 from precomputed r and z."""
-    alpha = 1.0 / max(1.0, float(pen.dual_norm(z)))
+    """(gap, primal, rel_gap, alpha) in f64 from precomputed r and z.
+
+    alpha = the OPTIMAL feasible scaling on the residual ray (see
+    core.objective.gap_from_parts): unconstrained maximizer of the dual
+    parabola clipped to feasibility — uniformly tighter than the round-1
+    1/max(1, dual_norm) and still sound."""
+    feas = 1.0 / max(float(pen.dual_norm(z)), 1e-300)
     aug = float(r @ r + lam2 * (x @ x))
+    alpha = min(max(float(-(r @ b)) / max(aug, 1e-300), 0.0), feas)
     primal = 0.5 * aug + float(pen.value(x))
     dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
     gap = primal - dual
@@ -345,7 +351,19 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
     """
     n_s = As.shape[1]
     keep_idx = np.arange(n_s)
-    col_norms = np.sqrt((As * As).sum(axis=0) + lam2)
+    # f32-STORED matrices run with chunked mixed-precision gemvs (f64
+    # arithmetic on exactly-representable f32 values): a dense
+    # As.astype(f64) copy of a GB-scale slab pays the first-touch
+    # page-fault pathology (measured 355 s for 4 iterations at the
+    # config-4 twin) and doubles every gemv's stream bytes
+    if As.dtype == np.float32:
+        matT = lambda v: -_gemv_t_mixed(As, v)      # As.T @ v
+        mat = lambda v: _gemv_mixed(As, v)          # As @ v
+    else:
+        matT = lambda v: As.T @ v
+        mat = lambda v: As @ v
+    col_norms = np.sqrt(
+        np.einsum("ij,ij->j", As, As, dtype=np.float64) + lam2)
 
     backtrack = L is None
     if backtrack:
@@ -361,7 +379,7 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
     # stays a valid (and tight) bound across every re-screening shrink.
     step = 1.0 / L
     x_prev = xs.copy()
-    r = As @ xs - b
+    r = mat(xs) - b
     r_prev = r.copy()
     t_mom = 1.0
     k = 0
@@ -372,10 +390,10 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
             beta = (t_mom - 1.0) / t_next
             y = xs + beta * (xs - x_prev)
             r_y = r + beta * (r - r_prev)
-            g = As.T @ r_y + lam2 * y
+            g = matT(r_y) + lam2 * y
             while True:
                 x_new = pen_s.prox(y - step * g, step)
-                r_new = As @ x_new - b
+                r_new = mat(x_new) - b
                 if not backtrack:
                     break
                 # majorizer test for the smooth part f = 0.5||.||^2 aug:
@@ -394,7 +412,7 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
                 x_prev, r_prev = xs, r
             xs, r, t_mom = x_new, r_new, t_next
             k += 1
-        zs = -(As.T @ r) - lam2 * xs
+        zs = -matT(r) - lam2 * xs
         gap, primal, rel, alpha = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
         if rel <= tol:
             break
@@ -413,7 +431,13 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
                 keep_idx = keep_idx[keep]
                 # residuals are x-independent of dropped zero coords only
                 # if they were zero — they are (provably, by the screen)
-                r = As @ xs - b
+                if As.dtype == np.float32:
+                    matT = lambda v, A_=As: -_gemv_t_mixed(A_, v)
+                    mat = lambda v, A_=As: _gemv_mixed(A_, v)
+                else:
+                    matT = lambda v, A_=As: A_.T @ v
+                    mat = lambda v, A_=As: A_ @ v
+                r = mat(xs) - b
                 r_prev = r.copy()
                 t_mom = 1.0  # restart momentum after the geometry change
                 # step stays valid: L(subset) <= L (see note above)
@@ -432,6 +456,17 @@ def _gemv_t_mixed(As32, r64, lam2=0.0, xs64=None, chunk=1024):
     if lam2 != 0.0 and xs64 is not None:
         z -= lam2 * xs64
     return z
+
+
+def _gemv_mixed(As32, x64, chunk=1024):
+    """As @ x in f64 from f32-stored As, chunked over columns so the
+    implicit f64 upcast temp stays cache-sized and arena-reused."""
+    m, width = As32.shape
+    r = np.zeros(m, np.float64)
+    for c0 in range(0, width, chunk):
+        c1 = min(c0 + chunk, width)
+        r += As32[:, c0:c1].astype(np.float64) @ x64[c0:c1]
+    return r
 
 
 def _residual_sparse32(As32, xs64, b64):
@@ -560,11 +595,19 @@ def polish_support(problem, x, *, tol: float = 1e-6,
          the support with the columns whose margined dual witness is
          closest to the boundary and repeats.
 
-    l1 / nonneg_l1 only (group prox makes per-column restriction awkward);
-    callers fall back to polish_fast otherwise.
+    group_l2 is routed to the GROUP-wise variant below (restriction by
+    support groups): gap-safe group screening is hopeless here — the
+    sqrt(gsize) aggregation in the group sphere test kept ALL 131072
+    columns at the config-4 twin (334 s of full-width host f64), while
+    the support-group restriction touches ~5% of them.
     """
     import jax.numpy as jnp
 
+    if problem.penalty.kind == "group_l2":
+        return _polish_support_group(
+            problem, x, tol=tol, max_iters=max_iters, gap_every=gap_every,
+            A_host=A_host, b_host=b_host, max_expand=max_expand,
+            verbose=verbose)
     if problem.penalty.kind not in ("l1", "nonneg_l1"):
         return polish_fast(problem, x, tol=tol, max_iters=max_iters,
                            gap_every=gap_every, A_host=A_host,
@@ -647,8 +690,12 @@ def polish_support(problem, x, *, tol: float = 1e-6,
             else np.maximum(z_S, 0.0)
 
         def certify(ub_now):
-            alpha = 1.0 / max(1.0, float(ub_now.max()) / lam1)
+            # optimal feasible alpha on the residual ray (see
+            # _gap_from_parts); ub_now upper-bounds the dual norm, so the
+            # feasibility cap lam1/ub is conservative
+            feas = lam1 / max(float(ub_now.max()), 1e-300)
             aug = float(r @ r + lam2 * (xs @ xs))
+            alpha = min(max(float(-(r @ b)) / max(aug, 1e-300), 0.0), feas)
             primal = 0.5 * aug + float(pen_s.value(xs))
             dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
             gap = primal - dual
@@ -699,6 +746,147 @@ def polish_support(problem, x, *, tol: float = 1e-6,
     return PolishResult(
         x=x_full, rel_gap=float(rel), gap=float(gap), primal=float(primal),
         kept=int(len(S)), iterations=k,
+        wall_time_s=time.perf_counter() - t0,
+    )
+
+
+def _polish_support_group(problem, x, *, tol, max_iters, gap_every,
+                          A_host, b_host, max_expand,
+                          verbose) -> PolishResult:
+    """Group-wise support-restricted certified refinement (group_l2).
+
+    Same architecture as polish_support with GROUPS as the restriction
+    unit: solve f64 on the support groups (plus expansions), certify on
+    the full problem with a conservative group dual norm — exact f64 on
+    the gathered groups, f32-with-margin elsewhere, where the margined
+    per-column bound |z_j| + m_j gives a sound group upper bound
+    sqrt(sum (|z_j|+m_j)^2) >= ||z_g||.
+    """
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    m, n = problem.A.shape
+    lam1 = float(jax.device_get(jnp.asarray(problem.penalty.lam1)))
+    lam2 = float(problem.lam2)
+    ngroups = problem.penalty.ngroups
+    gsize = n // ngroups
+    weights = problem.penalty.weights
+    w = (np.ones(ngroups) if weights is None
+         else np.asarray(jax.device_get(weights), np.float64))
+    pen = _NpPenalty("group_l2", lam1, ngroups, w, n)
+    b = np.asarray(jax.device_get(problem.b) if b_host is None else b_host,
+                   dtype=np.float64)
+
+    def tick(label, t_prev):
+        now = time.perf_counter()
+        if verbose:
+            import sys
+
+            print(f"  polish[{label}] +{now - t_prev:.2f}s", file=sys.stderr)
+        return now
+
+    tp = tick("setup", t0)
+    x_np = np.asarray(jax.device_get(x), np.float64)
+    G = np.nonzero(x_np.reshape(ngroups, gsize).any(axis=1))[0]
+    if len(G) == 0:
+        G = np.array([0])
+
+    eps = float(np.finfo(np.float32).eps)
+    gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
+
+    best = None
+    for _round in range(max_expand + 1):
+        cols = (G[:, None] * gsize + np.arange(gsize)[None, :]).reshape(-1)
+        if A_host is None:
+            As = np.asarray(
+                jax.device_get(problem.A[:, jnp.asarray(cols)]), np.float32,
+                order="F")
+        else:
+            As = _gather_cols(A_host, cols, np.float32)
+        tp = tick(f"gather(|G|={len(G)})", tp)
+        pen_s = _NpPenalty("group_l2", lam1, len(G), w[G], len(cols))
+        xs = x_np[cols]
+        # f64-arithmetic FISTA with backtracking directly on the
+        # f32-stored slab (_fista64 dispatches to chunked mixed-precision
+        # gemvs): a dense As.astype(f64) copy measured 355 s of
+        # first-touch page faults for 4 iterations at the config-4 twin
+        xs, sub_idx, k, _, _, _, r = _fista64(
+            As, b, lam2, pen_s, xs, tol * 0.5, max_iters, gap_every)
+        tp = tick(f"fista64(k={k})", tp)
+
+        # full-problem certificate: f32 witness + margin per column on the
+        # device, group-aggregated upper bound; exact f64 on gathered cols
+        r_dev = jnp.asarray(r, jnp.float32)
+        z_dev, cn_dev = _witness_colnorms_dev(problem.A, r_dev, lam2)
+        z_f32 = np.asarray(jax.device_get(z_dev), np.float64)
+        cn_safe = (np.asarray(jax.device_get(cn_dev), np.float64)
+                   * (1.0 + 4 * eps) + 1e-12)
+        tp = tick("device-witness", tp)
+        if lam2 != 0.0:
+            xfull32 = np.zeros(n, np.float32)
+            xfull32[cols] = xs.astype(np.float32)
+            z_f32 -= lam2 * xfull32
+        r_norm = float(np.linalg.norm(r))
+        zbar = np.abs(z_f32) + gamma * cn_safe * r_norm
+        x_cols = np.zeros(len(cols), np.float64)
+        x_cols[sub_idx] = xs
+        z_S = _gemv_t_mixed(As, r, lam2, x_cols)   # exact f64, gathered cols
+        zbar[cols] = np.abs(z_S)
+        ub_g = np.sqrt((zbar ** 2).reshape(ngroups, gsize).sum(axis=1))
+
+        def certify(ub_now):
+            # optimal feasible alpha on the residual ray (_gap_from_parts)
+            feas = lam1 / max(float(np.max(ub_now / w)), 1e-300)
+            aug = float(r @ r + lam2 * (xs @ xs))
+            alpha = min(max(float(-(r @ b)) / max(aug, 1e-300), 0.0), feas)
+            primal = 0.5 * aug + float(pen_s.value(xs))
+            dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
+            gap = primal - dual
+            rel = gap / max(abs(primal), np.finfo(np.float64).tiny)
+            return rel, gap, primal
+
+        rel, gap, primal = certify(ub_g)
+        if rel > tol:
+            # exact-refine near-boundary groups (the f32 margin may be the
+            # only thing pushing them over)
+            near = np.setdiff1d(
+                np.nonzero(ub_g >= lam1 * w * (1.0 - 1e-6))[0], G)
+            if len(near) > 64:
+                near = near[np.argsort(-(ub_g / w)[near])[:64]]
+            if len(near):
+                ncols = (near[:, None] * gsize
+                         + np.arange(gsize)[None, :]).reshape(-1)
+                A_near = (np.asarray(jax.device_get(
+                              problem.A[:, jnp.asarray(ncols)]), np.float32,
+                              order="F")
+                          if A_host is None
+                          else _gather_cols(A_host, ncols, np.float32))
+                z_near = np.abs(_gemv_t_mixed(A_near, r))
+                tp = tick(f"near-exact(|near|={len(near)})", tp)
+                ub_g[near] = np.sqrt(
+                    (z_near ** 2).reshape(len(near), gsize).sum(axis=1))
+                rel, gap, primal = certify(ub_g)
+        if best is None or rel < best[3]:
+            best = (x_cols.copy(), cols.copy(), k, rel, gap, primal)
+        if rel <= tol:
+            break
+        outside = np.setdiff1d(
+            np.nonzero(ub_g >= lam1 * w * (1.0 - 1e-9))[0], G)
+        if len(outside) == 0:
+            cand = np.setdiff1d(np.argsort(-(ub_g / w))[:2 * len(G)], G)
+            if len(cand) == 0:
+                break
+            outside = cand[:max(len(G) // 2, 1)]
+        x_np = np.zeros(n, np.float64)
+        x_np[cols] = x_cols
+        G = np.sort(np.concatenate([G, outside]))
+
+    x_cols, cols, k, rel, gap, primal = best
+    x_full = np.zeros(n, dtype=np.float64)
+    x_full[cols] = x_cols
+    return PolishResult(
+        x=x_full, rel_gap=float(rel), gap=float(gap), primal=float(primal),
+        kept=int(len(cols)), iterations=k,
         wall_time_s=time.perf_counter() - t0,
     )
 

@@ -29,7 +29,9 @@ def gap_safe_keep_mask(problem: Problem, x: jax.Array,
         col_norms = problem.col_norms()
     z = dual_witness(problem, x, r)
     info = duality_gap(problem, x, r, z=z)
-    return problem.penalty.screen_keep(z, info.alpha, info.gap, col_norms)
+    return problem.penalty.screen_keep(
+        z, info.alpha, info.gap, col_norms,
+        r_norm=jnp.linalg.norm(r), primal=info.primal)
 
 
 def compact_problem(problem: Problem, keep_mask) -> tuple[Problem, jax.Array]:

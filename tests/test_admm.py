@@ -41,9 +41,12 @@ def test_admm_converges_and_matches_fista(kind, ngroups, lam2):
     res_a = solve(inst.problem, "admm", tol=1e-5, max_iters=2000)
     res_f = solve(inst.problem, "fista", tol=1e-6, max_iters=5000)
     assert res_a.converged, res_a.rel_gap
-    # same optimum (certified independently by each solver's gap)
+    # same optimum within the eps-optimality ball: the optimal-alpha
+    # monitor (round 2) certifies tol=1e-5 at genuinely looser iterates
+    # than the round-1 conservative gap did, so the admissible distance
+    # between the two certified solutions grows accordingly
     np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_f.x),
-                               atol=5e-4)
+                               atol=2.5e-3)
     # the returned iterate really certifies at the claimed gap
     info = duality_gap(inst.problem, res_a.x)
     assert float(info.rel_gap) < 2e-5

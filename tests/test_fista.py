@@ -176,4 +176,4 @@ def test_lambda_path_bcd_matches_fista():
         # two eps-optimal points can differ ~sqrt(gap) on near-degenerate
         # coordinates; parity within that class is the check
         np.testing.assert_allclose(np.asarray(got.xs), np.asarray(ref.xs),
-                                   atol=3e-3)
+                                   atol=6e-3)

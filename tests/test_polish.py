@@ -68,7 +68,9 @@ def test_polish_fast_matches_full_certificate(kind, ngroups, lam2):
     fast = polish_fast(inst.problem, res.x, tol=1e-8)
     full = polish(inst.problem, res.x, tol=1e-8)
     assert fast.rel_gap <= 1e-8
-    np.testing.assert_allclose(fast.x, full.x, atol=1e-6)
+    # both 1e-8-certified; their internal f64 solves may stop at different
+    # checks (optimal-alpha monitor), so compare within the certified ball
+    np.testing.assert_allclose(fast.x, full.x, atol=2e-5)
     # the extension theorem's claim: the fast result's FULL-problem f64
     # certificate (recomputed explicitly) really is below tol
     import dataclasses
@@ -131,7 +133,10 @@ def test_polish_support_expands_from_truncated_start():
     assert ps.rel_gap <= 1e-8, ps.rel_gap
 
 
-def test_polish_support_group_falls_back():
+def test_polish_support_group_variant():
+    """group_l2 routes to the group-wise support restriction (round 2:
+    gap-safe group screening keeps everything at f32 gaps, so the
+    fallback-to-polish_fast path was replaced)."""
     from convex_optimization_tpu.solvers.polish import polish_support
 
     inst = make_lasso_instance(jax.random.PRNGKey(14), 64, 256,
@@ -139,6 +144,17 @@ def test_polish_support_group_falls_back():
     res = solve(inst.problem, "fista", tol=1e-4, max_iters=3000)
     ps = polish_support(inst.problem, res.x, tol=1e-8)
     assert ps.rel_gap <= 1e-8
+    assert ps.kept < inst.problem.n      # really restricted
+    # independent f64 certificate of the scattered-back vector
+    import dataclasses
+
+    p64 = dataclasses.replace(
+        inst.problem,
+        A=inst.problem.A.astype(jnp.float64),
+        b=inst.problem.b.astype(jnp.float64),
+    )
+    info = duality_gap(p64, jnp.asarray(ps.x))
+    assert float(info.rel_gap) <= 2e-8, float(info.rel_gap)
 
 
 @pytest.mark.parametrize("kind,ngroups", [("l1", 0), ("group_l2", 16)])
