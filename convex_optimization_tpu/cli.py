@@ -193,7 +193,11 @@ def main(argv=None) -> int:
             path_kw["mesh"] = make_mesh(mesh_n, axis=args.mesh_axis)
         with M.WallTimer() as t:
             pr = run_path(problem, scfg, path_len=lambda_path, **path_kw)
-            jax.block_until_ready(pr.xs)
+            # value fetch, NOT block_until_ready: the latter silently
+            # no-ops on relay-backed executions (CLAUDE.md), which made
+            # the path wall-clock read dispatch time instead of compute
+            float(jnp.sum(pr.xs[-1]))
+            float(jnp.max(pr.gaps))
         rows = []
         for i in range(lambda_path):
             rows.append({

@@ -75,7 +75,10 @@ def lambda_path(
         eligible this is the fastest per-point solver by a wide margin
         (one HBM read of A per sweep + GS convergence), and the transposed
         relayout + block-Lipschitz kernels are hoisted ONCE for the whole
-        path.
+        path.  CAVEAT: at the dense end of a deep path (lam ~ 0.01
+        lam_max) plain GS lacks FISTA's momentum and can need many more
+        sweeps than FISTA needs iterations — prefer 'fista' when the path
+        descends far into the dense regime.
 
     With ``mesh`` the path runs on the column-sharded FISTA: warm starts
     never leave the device mesh."""
@@ -114,7 +117,25 @@ def lambda_path(
         multiple = 1
         if problem.penalty.kind == "group_l2":
             multiple = problem.n // problem.penalty.ngroups
-        bs = pick_block_size(problem.n, cfg.block_size, multiple_of=multiple)
+        bs = None
+        if cfg.use_pallas:
+            from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+                pick_padded_block_size_vpu,
+            )
+
+            # pad-free VPU-eligible block size FIRST: the generic divisor
+            # pick can land on a non-8-aligned block (e.g. 250 at n=50k)
+            # and silently run the 10x-slower XLA-scan sweep for the
+            # whole path.  Capped at 128: blocks wider than that slow
+            # Gauss-Seidel convergence badly (a near-square block's
+            # 1/L_j step degenerates toward ISTA — measured at 200x1000)
+            picked = pick_padded_block_size_vpu(
+                problem.m, problem.n, min(cfg.block_size, 128), multiple)
+            if picked is not None and picked[1] == 0:
+                bs = picked[0]
+        if bs is None:
+            bs = pick_block_size(problem.n, cfg.block_size,
+                                 multiple_of=multiple)
         n_blocks = problem.n // bs
         A_t = None
         if cfg.use_pallas and eligible_vpu(problem.m, problem.n, bs,
