@@ -162,10 +162,35 @@ def solve(
     # Each branch yields the jitted fn, a make_state builder (so the timed
     # run can start from fresh input bytes), and the arg tuple shape.
     if method in ("fista", "ista"):
-        L_total = spectral_norm_sq(problem.A) + problem.lam2
+        # kernel routing (same rationale as the bcd branch): with a
+        # pad-free VPU-eligible layout and HBM room for the A_t copy,
+        # every matvec in the FISTA program (steps, witness, and the
+        # power iteration for L) runs as a Pallas kernel — seconds of
+        # relay compile instead of minutes of XLA-dot compiles
+        A_t_f = None
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            pick_padded_block_size_vpu,
+            to_tblock_major,
+        )
+
+        picked = pick_padded_block_size_vpu(problem.m, problem.n, 128)
+        fits_hbm = (2 * problem.m * problem.n
+                    * jnp.dtype(problem.dtype).itemsize <= 13 * 1024 ** 3)
+        if picked is not None and picked[1] == 0 and fits_hbm:
+            from convex_optimization_tpu.ops.matvec_pallas import (
+                spectral_norm_sq_t,
+            )
+
+            A_t_f = to_tblock_major(problem.A, problem.n // picked[0])
+            # jit the whole power iteration: eagerly it would dispatch
+            # ~100 kernel calls through the relay one RPC at a time
+            L_total = jax.jit(
+                lambda a: spectral_norm_sq_t(a))(A_t_f) + problem.lam2
+        else:
+            L_total = spectral_norm_sq(problem.A) + problem.lam2
         make_state = lambda x: fista_mod.init_state(problem, x, cfg)
         jfn = fista_mod.fista
-        jargs = lambda s: (problem, L_total, s, cfg, col_norms)
+        jargs = lambda s: (problem, L_total, s, cfg, col_norms, A_t_f)
     elif method in ("bcd", "bcd_pallas"):
         multiple = 1
         if problem.penalty.kind == "group_l2":

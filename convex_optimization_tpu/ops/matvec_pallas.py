@@ -195,6 +195,33 @@ def neg_at_r_t(A_t: jax.Array, r: jax.Array, x: jax.Array, lam2,
     return z.reshape(n_blocks * B)
 
 
+def spectral_norm_sq_t(A_t: jax.Array, *, iters: int = 48,
+                       safety: float = 1.02,
+                       interpret: bool | None = None) -> jax.Array:
+    """||A||_2^2 via power iteration expressed over the matvec KERNELS —
+    the jitted program contains no XLA dot, so it compiles in seconds on
+    the relay where ops.power_iter.spectral_norm_sq (whole-matrix einsums)
+    costs minutes.  Matches its semantics (same safety margin)."""
+    n_blocks, B, m = A_t.shape
+    n = n_blocks * B
+    zeros_m = jnp.zeros((m,), A_t.dtype)
+    zeros_n = jnp.zeros((n,), A_t.dtype)
+
+    # deterministic unit start (power iteration converges from any vector
+    # not orthogonal to the top right-singular vector — measure zero)
+    v0 = jnp.sin(jnp.arange(1, n + 1, dtype=A_t.dtype))
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(_, v):
+        u = ax_minus_b_t(A_t, v, zeros_m, interpret=interpret)      # A v
+        w = -neg_at_r_t(A_t, u, zeros_n, 0.0, interpret=interpret)  # A^T u
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    u = ax_minus_b_t(A_t, v, zeros_m, interpret=interpret)
+    return safety * jnp.vdot(u, u) / jnp.maximum(jnp.vdot(v, v), 1e-30)
+
+
 def block_power_t(A_t: jax.Array, *, iters: int = 48, safety: float = 1.02,
                   interpret: bool | None = None) -> jax.Array:
     """Per-block ||A_j||_2^2 (matches ops.power_iter.block_spectral_norms_sq)

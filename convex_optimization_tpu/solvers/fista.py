@@ -37,8 +37,14 @@ from convex_optimization_tpu.solvers.common import (
 
 
 def fista_step(problem: Problem, L_total, state: SolveState,
-               cfg: SolverConfig) -> SolveState:
-    """One FISTA (or ISTA if cfg.momentum=False) iteration."""
+               cfg: SolverConfig,
+               A_t: jax.Array | None = None) -> SolveState:
+    """One FISTA (or ISTA if cfg.momentum=False) iteration.
+
+    With ``A_t`` (the transposed block-major layout) the two matvecs run
+    through the Pallas kernels instead of XLA dots — identical arithmetic
+    class, but the compiled program's relay compile drops from minutes to
+    seconds (ops/matvec_pallas.py)."""
     A, b, lam2, penalty = problem.A, problem.b, problem.lam2, problem.penalty
     x, r, x_prev, r_prev, t = state.x, state.r, state.x_prev, state.r_prev, state.t_mom
 
@@ -51,11 +57,22 @@ def fista_step(problem: Problem, L_total, state: SolveState,
         t_next = t
         y, r_y = x, r
 
-    g = A.T @ r_y + lam2 * y
+    if A_t is not None:
+        from convex_optimization_tpu.ops.matvec_pallas import (
+            ax_minus_b_t,
+            neg_at_r_t,
+        )
+
+        g = -neg_at_r_t(A_t, r_y, y, lam2)          # A^T r_y + lam2 y
+    else:
+        g = A.T @ r_y + lam2 * y
     step = 1.0 / L_total
     x_new = penalty.prox(y - step * g, step)
     x_new = jnp.where(state.keep_mask, x_new, 0.0)
-    r_new = A @ x_new - b
+    if A_t is not None:
+        r_new = ax_minus_b_t(A_t, x_new, b)
+    else:
+        r_new = A @ x_new - b
 
     if cfg.momentum and cfg.adaptive_restart:
         # restart when the momentum direction opposes progress
@@ -128,21 +145,36 @@ def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def fista(problem: Problem, L_total, state: SolveState, cfg: SolverConfig,
-          col_norms: jax.Array | None = None) -> SolveState:
+          col_norms: jax.Array | None = None,
+          A_t: jax.Array | None = None) -> SolveState:
     """Run FISTA until rel. duality gap <= cfg.tol or cfg.max_iters (jitted).
 
     L_total must be >= ||A||_2^2 + lam2 (see ops.power_iter).  The loop body
     runs ``gap_every`` iterations then one gap check, so the whole solve is a
     single while_loop with zero host synchronization.
+
+    Pass ``A_t = to_tblock_major(problem.A, n_blocks)`` to route every
+    matvec (steps AND gap-check witness) through the Pallas kernels: the
+    compiled program then contains no full-size XLA dot, which keeps its
+    relay compile at seconds instead of minutes (ops/matvec_pallas.py).
     """
     if col_norms is None and cfg.screen_every > 0:
         col_norms = problem.col_norms()
 
+    def check(s: SolveState) -> SolveState:
+        if A_t is not None:
+            from convex_optimization_tpu.ops.matvec_pallas import neg_at_r_t
+
+            z = neg_at_r_t(A_t, s.r, s.x, problem.lam2)
+            return _check_and_record(problem, s, cfg, col_norms, z=z)
+        return _check_and_record(problem, s, cfg, col_norms)
+
     def body(s: SolveState) -> SolveState:
         s = lax.fori_loop(
-            0, cfg.gap_every, lambda _, st: fista_step(problem, L_total, st, cfg), s
+            0, cfg.gap_every,
+            lambda _, st: fista_step(problem, L_total, st, cfg, A_t), s
         )
-        return _check_and_record(problem, s, cfg, col_norms)
+        return check(s)
 
     def cond(s: SolveState) -> jax.Array:
         go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
@@ -151,5 +183,5 @@ def fista(problem: Problem, L_total, state: SolveState, cfg: SolverConfig,
         return go
 
     # record the initial point too (check slot 0)
-    state = _check_and_record(problem, state, cfg, col_norms)
+    state = check(state)
     return lax.while_loop(cond, body, state)

@@ -85,3 +85,47 @@ def test_bcd_with_hoisted_A_t_matches_plain():
     assert float(s_k.best_rel_gap) <= 1e-5
     np.testing.assert_allclose(np.asarray(s_k.x_best),
                                np.asarray(s_ref.x_best), atol=5e-5)
+
+
+def test_spectral_norm_kernel_matches_einsum():
+    from convex_optimization_tpu.ops.matvec_pallas import spectral_norm_sq_t
+    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+
+    p, A_t = _setup(m=96, n=512, n_blocks=4)
+    ref = float(spectral_norm_sq(p.A))
+    k = float(spectral_norm_sq_t(A_t, interpret=True))
+    assert abs(k - ref) / ref < 2e-2
+    # valid upper bound on the true spectral norm
+    true = float(np.linalg.norm(np.asarray(p.A), 2) ** 2)
+    assert k >= true * 0.999
+
+
+def test_fista_with_A_t_matches_plain():
+    """fista(A_t=...) (kernel matvecs, no XLA dots) must match XLA fista."""
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.fista import fista, init_state
+    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+
+    inst = make_lasso_instance(jax.random.PRNGKey(8), 128, 512)
+    p = inst.problem
+    # tol above the f32 floor: the kernels' chunked reduction order has
+    # marginally different rounding than XLA's dots, so at tol=1e-6 one
+    # path can land at 1.05e-6 while the other converges
+    cfg = SolverConfig(tol=5e-6, max_iters=3000, gap_every=5)
+    L = spectral_norm_sq(p.A) + p.lam2
+    A_t = to_tblock_major(p.A, 512 // 64)
+    s_k = fista(p, L, init_state(p, None, cfg), cfg, None, A_t)
+    s_ref = fista(p, L, init_state(p, None, cfg), cfg)
+    assert float(s_k.best_rel_gap) <= 5e-6
+    np.testing.assert_allclose(np.asarray(s_k.x_best),
+                               np.asarray(s_ref.x_best), atol=5e-5)
+
+
+def test_solve_fista_kernel_routing_end_to_end():
+    """api.solve('fista') picks the kernel routing at eligible sizes and
+    still certifies."""
+    from convex_optimization_tpu.api import solve
+
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 128, 1024)
+    res = solve(inst.problem, "fista", tol=1e-5, max_iters=4000)
+    assert res.converged, res.rel_gap
