@@ -173,7 +173,18 @@ def solve(
             to_tblock_major,
         )
 
-        picked = pick_padded_block_size_vpu(problem.m, problem.n, 128)
+        # dtype-gated (round-3 fix): f64 problems must NOT route into the
+        # f32-only VPU kernels (hard-coded f32 VMEM scratch dies at trace
+        # time); pick_padded_block_size_vpu returns None for non-f32.
+        # Backend-gated too: this routing exists to turn minutes of relay
+        # compile into seconds on TPU; on CPU the interpret-mode kernels
+        # are pure overhead AND their power-iteration L differs slightly
+        # from spectral_norm_sq's, breaking sharded/unsharded history
+        # equivalence (tests/test_sharding.py).
+        picked = None
+        if jax.default_backend() == "tpu":
+            picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
+                                                dtype=problem.dtype)
         fits_hbm = (2 * problem.m * problem.n
                     * jnp.dtype(problem.dtype).itemsize <= 13 * 1024 ** 3)
         if picked is not None and picked[1] == 0 and fits_hbm:

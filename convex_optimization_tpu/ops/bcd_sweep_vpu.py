@@ -85,7 +85,8 @@ def eligible_vpu(m: int, n: int, block: int, dtype=jnp.float32) -> bool:
 
 
 def pick_padded_block_size_vpu(m: int, n: int, target: int = 128,
-                               multiple_of: int = 1
+                               multiple_of: int = 1,
+                               dtype=jnp.float32,
                                ) -> tuple[int, int] | None:
     """(block, pad) such that the kernel is eligible on n+pad columns (pad
     appended as zero columns by the caller); None if nothing fits.  B sits
@@ -104,7 +105,7 @@ def pick_padded_block_size_vpu(m: int, n: int, target: int = 128,
     b = step
     while b <= max(target, step):
         n_pad = -(-n // b) * b
-        if eligible_vpu(m, n_pad, b):
+        if eligible_vpu(m, n_pad, b, dtype):
             best = (b, n_pad - n)
             if n_pad == n:
                 best_nopad = (b, 0)
