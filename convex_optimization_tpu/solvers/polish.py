@@ -556,6 +556,108 @@ def _cd64(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
     return xs, keep_idx, sweeps, rel, gap, primal, r
 
 
+def _cd64_group(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
+                rescreen: bool = True):
+    """f64 BLOCK coordinate descent over GROUPS on the compacted
+    group-lasso problem — the group analog of ``_cd64`` (block shooting:
+    one prox-gradient step per group per visit with the exact block
+    Lipschitz, Gauss-Seidel residual updates).  Returns the same tuple as
+    ``_fista64``: (x, keep_idx, sweeps, rel_gap, gap, primal, r).
+
+    Why block CD instead of host FISTA for the group support solve
+    (VERDICT r2 #3; measured at the config-4 twin, |S|~260 groups):
+      * exact per-group Lipschitz lam_max(A_g^T A_g) + lam2 from a cheap
+        f32 power iteration on the cache-resident 5 MB group slab — no
+        global spectral estimate, no backtracking line search;
+      * Gauss-Seidel: the residual the next group sees already contains
+        this group's update, so the f32-warm-started solve cleans up in a
+        handful of sweeps where momentum FISTA needed ~32 iterations
+        (each 2 full mixed-precision gemv passes over the whole slab);
+      * the slab stays FLOAT32 (problem data is exactly f32); each group
+        is cast once per visit into a reused f64 buffer, so a sweep
+        streams the slab from RAM exactly once and both gemvs of the
+        visit hit the cached buffer.
+
+    All iterate arithmetic is float64 (f32 values are exactly
+    representable), so the caller's certificate math is unchanged.
+    rescreen drops whole zero groups by the gap-safe group sphere
+    (exact f64; sound for the same reason as in ``_cd64``: the caller
+    recomputes the full-problem certificate from scratch).
+    """
+    m, width = As32.shape
+    ng = pen_s.ngroups
+    gsize = width // ng
+    lam1 = pen_s.lam1
+    w = pen_s.w.copy()
+    keep_idx = np.arange(width)
+    xs = xs.copy()
+    r = _residual_sparse32(As32, xs, b)
+
+    # per-column squared norms (f64 accumulation) -> group Frobenius
+    # norms for the screen; exact block Lipschitz via f32 power iteration
+    # per group (L only affects step sizes, never the certificate, so f32
+    # accuracy + 2% inflation is enough; 8 iterations on a cache-resident
+    # slab cost ~16 sgemv passes over 5 MB)
+    col_sq = np.einsum("ij,ij->j", As32, As32, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    L = np.empty(ng)
+    for g in range(ng):
+        Ag = As32[:, g * gsize:(g + 1) * gsize]
+        v = rng.standard_normal(gsize).astype(np.float32)
+        v /= np.linalg.norm(v)
+        for _ in range(8):
+            u = Ag.T @ (Ag @ v)
+            v = u / max(np.linalg.norm(u), 1e-30)
+        u = Ag @ v
+        L[g] = 1.02 * float(u.astype(np.float64) @ u) + lam2
+
+    gbuf = np.empty((m, gsize), np.float64, order="F")
+    sweeps = 0
+    rel = gap = primal = np.inf
+    while sweeps < max_sweeps:
+        for _ in range(gap_every):
+            for g in range(ng):
+                sl = slice(g * gsize, (g + 1) * gsize)
+                np.copyto(gbuf, As32[:, sl])   # one stream read of the slab
+                xg = xs[sl]
+                grad = gbuf.T @ r + lam2 * xg
+                v = xg - grad / L[g]
+                nv = float(np.linalg.norm(v))
+                s = max(0.0, 1.0 - lam1 * w[g] / (L[g] * max(nv, 1e-300)))
+                xn = s * v
+                dx = xn - xg
+                if np.any(dx):
+                    r += gbuf @ dx             # cache-hot (gbuf just read)
+                    xs[sl] = xn
+            sweeps += 1
+        # exact refresh pins incremental drift; one mixed gemv for the gap
+        r = _residual_sparse32(As32, xs, b)
+        zs = _gemv_t_mixed(As32, r, lam2, xs)
+        gap, primal, rel, alpha = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
+        if rel <= tol:
+            break
+        if rescreen and ng > 1:
+            radius = np.sqrt(2.0 * max(gap, 0.0))
+            wit = (alpha * zs).reshape(ng, gsize)
+            gn = np.linalg.norm(wit, axis=1)
+            gcol = np.sqrt(col_sq.reshape(ng, gsize).sum(axis=1) +
+                           lam2 * gsize)
+            gdrop = gn + radius * gcol < lam1 * w
+            gdrop &= ~(xs.reshape(ng, gsize).any(axis=1))
+            if gdrop.any():
+                gkeep = ~gdrop
+                keep = np.repeat(gkeep, gsize)
+                As32 = _gather_cols(As32, np.nonzero(keep)[0], As32.dtype)
+                xs = xs[keep]
+                col_sq = col_sq[keep]
+                keep_idx = keep_idx[keep]
+                L, w = L[gkeep], w[gkeep]
+                ng = int(gkeep.sum())
+                pen_s = _NpPenalty("group_l2", lam1, ng, w, ng * gsize)
+                # dropped groups were identically 0, so r is unaffected
+    return xs, keep_idx, sweeps, rel, gap, primal, r
+
+
 def _witness_colnorms_dev(A, r32, lam2):
     """ONE device program for the full-width f32 pieces of the support
     certificate: the dual witness A^T r and the column norms.  Folding them
@@ -806,13 +908,16 @@ def _polish_support_group(problem, x, *, tol, max_iters, gap_every,
         tp = tick(f"gather(|G|={len(G)})", tp)
         pen_s = _NpPenalty("group_l2", lam1, len(G), w[G], len(cols))
         xs = x_np[cols]
-        # f64-arithmetic FISTA with backtracking directly on the
-        # f32-stored slab (_fista64 dispatches to chunked mixed-precision
-        # gemvs): a dense As.astype(f64) copy measured 355 s of
-        # first-touch page faults for 4 iterations at the config-4 twin
-        xs, sub_idx, k, _, _, _, r = _fista64(
-            As, b, lam2, pen_s, xs, tol * 0.5, max_iters, gap_every)
-        tp = tick(f"fista64(k={k})", tp)
+        # f64 block CD over groups (round-3, VERDICT r2 #3): exact block
+        # Lipschitz + Gauss-Seidel cleans up the f32 warm start in a few
+        # sweeps where the momentum FISTA it replaced needed ~32
+        # iterations x 2 mixed-precision passes (15 s at the config-4
+        # twin).  The slab stays f32 (a dense As.astype(f64) copy
+        # measured 355 s of first-touch page faults for 4 iterations).
+        xs, sub_idx, k, _, _, _, r = _cd64_group(
+            As, b, lam2, pen_s, xs, tol * 0.5, max_sweeps=max_iters,
+            gap_every=gap_every)
+        tp = tick(f"cd64_group(sweeps={k}, kept={len(sub_idx)})", tp)
 
         # full-problem certificate: f32 witness + margin per column on the
         # device, group-aggregated upper bound; exact f64 on gathered cols
@@ -822,24 +927,29 @@ def _polish_support_group(problem, x, *, tol, max_iters, gap_every,
         cn_safe = (np.asarray(jax.device_get(cn_dev), np.float64)
                    * (1.0 + 4 * eps) + 1e-12)
         tp = tick("device-witness", tp)
+        # scatter back through sub_idx: the group CD may have compacted
+        # zero groups, so xs indexes a SUBSET of the gathered columns
+        x_cols = np.zeros(len(cols), np.float64)
+        x_cols[sub_idx] = xs
         if lam2 != 0.0:
             xfull32 = np.zeros(n, np.float32)
-            xfull32[cols] = xs.astype(np.float32)
+            xfull32[cols] = x_cols.astype(np.float32)
             z_f32 -= lam2 * xfull32
         r_norm = float(np.linalg.norm(r))
         zbar = np.abs(z_f32) + gamma * cn_safe * r_norm
-        x_cols = np.zeros(len(cols), np.float64)
-        x_cols[sub_idx] = xs
         z_S = _gemv_t_mixed(As, r, lam2, x_cols)   # exact f64, gathered cols
         zbar[cols] = np.abs(z_S)
         ub_g = np.sqrt((zbar ** 2).reshape(ngroups, gsize).sum(axis=1))
 
         def certify(ub_now):
-            # optimal feasible alpha on the residual ray (_gap_from_parts)
+            # optimal feasible alpha on the residual ray (_gap_from_parts).
+            # x_cols (NOT xs): the group CD may have compacted zero groups
+            # out of xs, while pen_s/aug need the full gathered layout —
+            # values are identical since dropped groups are exactly 0.
             feas = lam1 / max(float(np.max(ub_now / w)), 1e-300)
-            aug = float(r @ r + lam2 * (xs @ xs))
+            aug = float(r @ r + lam2 * (x_cols @ x_cols))
             alpha = min(max(float(-(r @ b)) / max(aug, 1e-300), 0.0), feas)
-            primal = 0.5 * aug + float(pen_s.value(xs))
+            primal = 0.5 * aug + float(pen_s.value(x_cols))
             dual = alpha * float(-(r @ b)) - 0.5 * alpha * alpha * aug
             gap = primal - dual
             rel = gap / max(abs(primal), np.finfo(np.float64).tiny)

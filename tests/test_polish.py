@@ -179,3 +179,47 @@ def test_polish_fast_host_path(kind, ngroups):
     )
     info = duality_gap(p64, jnp.asarray(fast.x))
     assert float(info.rel_gap) <= 2e-8, float(info.rel_gap)
+
+
+def test_cd64_group_direct_with_compaction():
+    """_cd64_group (round-3 group shooting solver): converges from a cold
+    start on a slab with many provably-inactive groups, compacts them out
+    mid-solve (rescreen), and its certificate matches an independent f64
+    recomputation on the full slab."""
+    import numpy as np
+
+    from convex_optimization_tpu.solvers.polish import (
+        _NpPenalty,
+        _cd64_group,
+        _gap_from_parts,
+        _gemv_t_mixed,
+        _residual_sparse32,
+    )
+
+    rng = np.random.default_rng(3)
+    m, ng, gsize = 96, 24, 8
+    width = ng * gsize
+    As = rng.standard_normal((m, width)).astype(np.float32)
+    As /= np.sqrt(m)
+    # planted signal in 3 groups only -> most groups screen out
+    x_true = np.zeros(width)
+    for g in (2, 11, 19):
+        x_true[g * gsize:(g + 1) * gsize] = rng.standard_normal(gsize)
+    b = (As.astype(np.float64) @ x_true
+         + 0.01 * rng.standard_normal(m))
+    pen = _NpPenalty("group_l2", 0.05, ng, None, width)
+    xs0 = np.zeros(width)
+    xs, keep_idx, sweeps, rel, gap, primal, r = _cd64_group(
+        As, b, 0.0, pen, xs0, tol=1e-10, max_sweeps=500, gap_every=2)
+    assert rel <= 1e-10, rel
+    assert len(keep_idx) < width            # compaction really happened
+    assert len(keep_idx) % gsize == 0       # whole groups only
+    # independent recomputation on the FULL slab
+    x_full = np.zeros(width)
+    x_full[keep_idx] = xs
+    r_chk = _residual_sparse32(As, x_full, b)
+    z_chk = _gemv_t_mixed(As, r_chk)
+    gap2, primal2, rel2, _ = _gap_from_parts(r_chk, b, 0.0, pen,
+                                             x_full, z_chk)
+    assert rel2 <= 1e-10, rel2
+    np.testing.assert_allclose(r, r_chk, rtol=1e-12, atol=1e-14)
