@@ -117,7 +117,12 @@ def _check_and_record(problem: Problem, state: SolveState, cfg: SolverConfig,
 
 
 def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,
-               keep_mask: jax.Array | None = None) -> SolveState:
+               keep_mask: jax.Array | None = None,
+               r0: jax.Array | None = None) -> SolveState:
+    """``r0``: precomputed residual A x0 - b.  The working-set solver passes
+    the kernel-computed full-width residual here so warm-started compact
+    solves never trace ``problem.residual`` (an XLA dot whose relay compile
+    costs minutes at full size — ops/matvec_pallas.py rationale)."""
     n = problem.n
     dtype = problem.dtype
     if x0 is None:
@@ -128,7 +133,7 @@ def init_state(problem: Problem, x0: jax.Array | None, cfg: SolverConfig,
         r = -problem.b.astype(dtype)
     else:
         x = x0.astype(dtype)
-        r = problem.residual(x)
+        r = problem.residual(x) if r0 is None else r0.astype(dtype)
     if keep_mask is None:
         keep_mask = jnp.ones((n,), bool)
     big = jnp.asarray(jnp.inf, dtype)

@@ -1,18 +1,20 @@
-"""Working-set FISTA (celer/BLITZ-style outer loop, SURVEY.md C11 taken to
+"""Working-set solver (celer/BLITZ-style outer loop, SURVEY.md C11 taken to
 its conclusion): solve restricted subproblems on the device and expand by
 full-width KKT checks.
 
-Why: at the 10k x 100k north star the full-width FISTA moves ~8 GB of HBM
-per iteration while the active set is ~7% of the columns.  The working-set
-loop pays a few full passes (screens + KKT checks) and runs the thousands
-of FISTA iterations on a ~10x smaller device-resident subproblem — the
-iteration cost collapses proportionally.
+Why: at the 10k x 100k north star the full-width solvers stream all 4 GB of
+A every sweep while gap-safe screening certifies ~93% of the columns zero
+(VERDICT r2 Weak #3).  The working-set loop pays a few full passes (burn-in
++ screens + KKT checks) and runs the many remaining sweeps on a ~10x
+smaller device-resident subproblem — per-sweep HBM traffic collapses
+proportionally.
 
 Round structure:
-  0. a few full-width FISTA iterations (decent x, honest gap estimate);
+  0. a short full-width burn-in (decent x, honest gap estimate);
   1. gap-safe screen at x -> working set W (bucketed to stable sizes so
-     the compact solver compiles once per bucket);
-  2. FISTA on A[:, W] (device gather; warm-started) to tol or stall;
+     each bucket shape compiles once);
+  2. inner solve on A[:, W] (device gather; warm-started) to tol or stall
+     — FISTA or Gauss-Seidel BCD sweeps (``inner=``);
   3. full-width dual check: z = A^T r.  Violations (|z_j| > lam1 for j
      outside W) are added and we repeat; otherwise the FULL-width gap at
      the expanded-back x is the honest result.
@@ -22,19 +24,40 @@ depends on the screen being tight — a loose screen only costs an extra
 round.  l1 / nonneg_l1 only (group gathers need group alignment; the plain
 solvers cover group lasso).
 
-DEPLOYMENT CAVEAT (measured on the axon relay, v5e): the outer loop
-instantiates several distinct XLA programs (burn-in config + one per
-working-set bucket), and the relay recompiles each per process (its
-compiles are NOT covered by jax's persistent compilation cache).  The
-steady-state math wins ~1.6x over plain FISTA at 10k x 100k (burn-in
-1.16s/100 full iters, screens 0.07s), but first-run compiles add minutes.
-Prefer plain `fista` when compile time matters; prefer `fista_ws` for
-repeated solves inside one process (lambda paths, cross-validation).
+KERNEL ROUTING (round 3, VERDICT r2 #4).  Round 2's deployment caveat was
+compile cost: every outer-loop program contained a full-size XLA dot, and
+such programs compile in MINUTES through the axon relay (425 s measured,
+ops/matvec_pallas.py), once per bucket shape.  This version routes every
+full-size matvec through the Pallas kernels over the transposed block-major
+layout ``A_t`` whenever the VPU kernel family is eligible (f32, pad-free
+block size, HBM room for the A_t copy — the same gate as api.solve):
+
+  * burn-in, screens, and KKT checks: `ax_minus_b_t` / `neg_at_r_t` on the
+    full-width A_t (seconds-scale compiles);
+  * bucket gathers: a row gather on A_t viewed as (n, m) — each original
+    column is one CONTIGUOUS m-length row of the transposed layout, so the
+    gather is a plain DMA-friendly take, not a strided column gather;
+  * compact solves: the gathered working set IS already in A_t layout, so
+    the restricted FISTA/BCD runs through the same kernels and its program
+    also compiles in seconds;
+  * residuals are threaded between phases (init_state's ``r0``), so no
+    program — not even a warm-start init — contains a full-size XLA dot.
+
+The compacted Problem carries a NaN placeholder for ``A``: with A_t routing
+active, no compact program may trace ``problem.A`` (matvecs, witness, and
+residual init all come from the kernels / the threaded r0) — if a code
+path ever does, the NaNs poison the result loudly instead of silently
+computing with wrong data.
+
+All jitted helpers live at module level so their compiled programs persist
+across `solve_working_set` calls: a warm-started lambda path re-solving
+overlapping supports pays each bucket shape's compile once per process.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -51,68 +74,169 @@ from convex_optimization_tpu.core.objective import (
 from convex_optimization_tpu.solvers.common import SolverConfig
 from convex_optimization_tpu.solvers.fista import fista, init_state
 from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+from convex_optimization_tpu.ops.matvec_pallas import (
+    ax_minus_b_t,
+    block_power_t,
+    neg_at_r_t,
+    spectral_norm_sq_t,
+)
 
 
 def _bucket(k: int, n: int, bucket: int) -> int:
     return min(n, -(-max(k, 1) // bucket) * bucket)
 
 
+def _kernel_route(problem: Problem, force_kernels: bool):
+    """(A_t_full, B_full) when the transposed-VPU kernel family can serve
+    this problem's full-width programs, else (None, 0).  Mirrors the
+    api.solve fista-branch gate: TPU backend (or forced, for CPU interpret-
+    mode tests), f32, pad-free block size, HBM room for the A_t copy."""
+    from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+        pick_padded_block_size_vpu,
+        to_tblock_major,
+    )
+
+    if not (force_kernels or jax.default_backend() == "tpu"):
+        return None, 0
+    picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
+                                        dtype=problem.dtype)
+    if picked is None or picked[1] != 0:
+        return None, 0
+    itemsize = jnp.dtype(problem.dtype).itemsize
+    # A + A_t + the (<= bucketed working set) gathered slab
+    if 2.5 * problem.m * problem.n * itemsize > 13 * 1024 ** 3:
+        return None, 0
+    B = picked[0]
+    return to_tblock_major(problem.A, problem.n // B), B
+
+
+# ---- module-level jitted helpers (compiled programs persist across
+# solve_working_set calls: lambda paths reuse every bucket shape) ----
+
+_spec_t_j = jax.jit(lambda a: spectral_norm_sq_t(a))
+_block_power_j = jax.jit(lambda a: block_power_t(a))
+_resid_t_j = jax.jit(lambda a_t, x, b: ax_minus_b_t(a_t, x, b))
+_init_j = jax.jit(init_state, static_argnames="cfg")
+_gather_cols = jax.jit(lambda A, idx: A[:, idx])
+_gather_vec = jax.jit(lambda x, idx: x[idx])
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _scatter_vec(xs, idx, n):
+    return jnp.zeros((n,), xs.dtype).at[idx].set(xs)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "bs"))
+def _gather_t(view, idx, nb, bs):
+    """Compact slab in A_t layout: row c of the (n, m) view IS column c of
+    A, contiguous (to_tblock_major ordering)."""
+    return view[idx].reshape(nb, bs, view.shape[1])
+
+
+def _keep_and_info(problem, x, r, z):
+    cn = problem.col_norms()
+    info = duality_gap(problem, x, r, z=z)
+    keep = problem.penalty.screen_keep(
+        z, info.alpha, info.gap, cn,
+        r_norm=jnp.sqrt(jnp.vdot(r, r)), primal=info.primal)
+    return keep | (x != 0), info               # never drop active coords
+
+
+@jax.jit
+def _screen_kernel_j(problem, x, A_t):
+    r = ax_minus_b_t(A_t, x, problem.b)
+    z = neg_at_r_t(A_t, r, x, problem.lam2)
+    keep, info = _keep_and_info(problem, x, r, z)
+    return keep, info, r
+
+
+@jax.jit
+def _screen_xla_j(problem, x):
+    r = problem.residual(x)
+    z = dual_witness(problem, x, r)
+    keep, info = _keep_and_info(problem, x, r, z)
+    return keep, info, r
+
+
 def solve_working_set(problem: Problem, cfg: SolverConfig, *,
                       x0: Optional[jax.Array] = None,
                       init_iters: int = 100, bucket: int = 2048,
-                      max_rounds: int = 8):
-    """Returns (x_full, final SolveState-like scalars dict, wall breakdown).
+                      max_rounds: int = 8, inner: str = "fista",
+                      force_kernels: bool = False):
+    """Returns (x_full, final GapInfo, wall breakdown dict).
 
-    Used by api.solve(method='fista_ws').
+    Used by api.solve(method='fista_ws' | 'bcd_ws').  ``inner`` picks the
+    restricted solver: 'fista' (momentum, reuses the full-width L as a
+    sound Lipschitz bound — one program per bucket) or 'bcd' (Gauss-Seidel
+    sweeps via the fused VPU kernel — fewer sweeps to the f32 floor, plus
+    one per-bucket block-Lipschitz program).  'bcd' requires the kernel
+    route; buckets fall back to 'fista' where its block gate fails.
     """
     if problem.penalty.kind not in ("l1", "nonneg_l1"):
         raise ValueError("working-set solver supports l1 / nonneg_l1")
-    n = problem.n
+    n, m = problem.n, problem.m
     t0 = time.perf_counter()
 
-    L_total = spectral_norm_sq(problem.A) + problem.lam2
+    A_t_full, _B_full = _kernel_route(problem, force_kernels)
 
-    # Every step of the outer loop is JITTED: on a relay-backed device each
-    # EAGER op pays an HTTP round-trip (measured: an unjitted screen loop
-    # cost minutes while the flops were milliseconds).
-    @jax.jit
-    def _screen_dev(problem, x):
-        cn = problem.col_norms()
-        r = problem.residual(x)
-        z = dual_witness(problem, x, r)
-        info = duality_gap(problem, x, r, z=z)
-        keep = problem.penalty.screen_keep(z, info.alpha, info.gap, cn)
-        keep = keep | (x != 0)                 # never drop active coords
-        return keep, info
+    if A_t_full is not None:
+        L_total = _spec_t_j(A_t_full) + problem.lam2
+        A_t_view = A_t_full.reshape(n, m)
 
-    def screen(x):
-        """(keep indices, GapInfo) at the current iterate."""
-        keep, info = _screen_dev(problem, x)
-        return np.nonzero(np.asarray(jax.device_get(keep)))[0], info
+        def screen(x):
+            keep, info, r = _screen_kernel_j(problem, x, A_t_full)
+            return (np.nonzero(np.asarray(jax.device_get(keep)))[0],
+                    info, r)
+    else:
+        L_total = spectral_norm_sq(problem.A) + problem.lam2
 
-    gather_cols = jax.jit(lambda A, idx: A[:, idx])
-    gather_vec = jax.jit(lambda x, idx: x[idx])
-    scatter_vec = jax.jit(
-        lambda xs, idx: jnp.zeros((n,), xs.dtype).at[idx].set(xs))
-    init_j = jax.jit(init_state, static_argnames="cfg")
+        def screen(x):
+            keep, info, r = _screen_xla_j(problem, x)
+            return (np.nonzero(np.asarray(jax.device_get(keep)))[0],
+                    info, r)
+
+    def _compact_block(k_b: int) -> int:
+        """Largest VPU-eligible block size for a k_b-column compact slab
+        (0 if none: that bucket runs the XLA fallback path)."""
+        from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            pick_padded_block_size_vpu,
+        )
+
+        picked = pick_padded_block_size_vpu(m, k_b, 128,
+                                            dtype=problem.dtype)
+        if picked is None or picked[1] != 0:
+            return 0
+        return picked[0]
 
     # phase 0: ADAPTIVE full-width burn-in — the screen only bites once the
     # gap is moderate, so take full-width batches (ONE static config =
     # one compiled program, called repeatedly with warm starts) until the
-    # working set would actually shrink the problem
+    # working set would actually shrink the problem.  The running residual
+    # is threaded into every init (r0), so warm starts never trace the
+    # A @ x dot.
     cfg0 = dataclasses.replace(cfg, max_iters=init_iters,
                                gap_every=min(cfg.gap_every, init_iters),
                                stall_checks=0, screen_every=0)
-    x = jnp.zeros((n,), problem.dtype) if x0 is None else x0
+    if x0 is None:
+        x = jnp.zeros((n,), problem.dtype)
+        r_cur = -problem.b
+    else:
+        x = x0
+        r_cur = (_resid_t_j(A_t_full, x, problem.b)
+                 if A_t_full is not None else None)
     total_inner = 0
-    idx_np, info = None, None
+    idx_np, info, r_full = None, None, None
+    t_setup = time.perf_counter() - t0
     for _burn in range(10):
-        s = fista(problem, L_total, init_j(problem, x, cfg0), cfg0, None)
-        x = s.x
+        st = (_init_j(problem, x, cfg0, r0=r_cur) if r_cur is not None
+              else _init_j(problem, x, cfg0))
+        s = fista(problem, L_total, st, cfg0, None, A_t_full)
+        x, r_cur = s.x, s.r
         total_inner += int(s.k)
-        idx_np, info = screen(x)
+        idx_np, info, r_full = screen(x)
         if bool(info.rel_gap <= cfg.tol) or len(idx_np) <= 0.6 * n:
             break
+    t_burn = time.perf_counter() - t0 - t_setup
 
     rounds = 0
     prev_gap = float("inf")
@@ -125,28 +249,54 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
         if k_b >= n:
             # working set is everything: fall back to the plain solve
             cfgf = dataclasses.replace(cfg, screen_every=0)
-            s = fista(problem, L_total, init_j(problem, x, cfgf),
-                      cfgf, None)
+            st = (_init_j(problem, x, cfgf, r0=r_full)
+                  if A_t_full is not None else _init_j(problem, x, cfgf))
+            s = fista(problem, L_total, st, cfgf, None, A_t_full)
             x = s.x_best
             total_inner += int(s.k)
-            _, info = _screen_dev(problem, x)
+            _, info, r_full = screen(x)
             break
         if k_b > len(idx_np):
             extra = np.setdiff1d(np.arange(n), idx_np)[:k_b - len(idx_np)]
             idx_np = np.sort(np.concatenate([idx_np, extra]))
         idx = jnp.asarray(idx_np)
-
-        # device-resident compact solve (gather stays on device)
-        p_ws = dataclasses.replace(problem, A=gather_cols(problem.A, idx))
         cfg_ws = dataclasses.replace(cfg, screen_every=0)
-        s_ws = fista(p_ws, L_total,
-                     init_j(p_ws, gather_vec(x, idx), cfg_ws),
-                     cfg_ws, None)
+
+        b_ws = _compact_block(k_b) if A_t_full is not None else 0
+        if b_ws:
+            # device-resident compact solve in A_t layout (kernel-routed:
+            # the whole restricted program compiles in seconds)
+            A_t_ws = _gather_t(A_t_view, idx, nb=k_b // b_ws, bs=b_ws)
+            # NaN placeholder: no kernel-routed compact program may trace
+            # problem.A (see module docstring) — XLA DCEs the unused input
+            p_ws = dataclasses.replace(
+                problem, A=jnp.full((m, k_b), jnp.nan, problem.dtype))
+            # r_full from the screen equals A[:,W] x_W - b exactly (x is 0
+            # off W), so the warm init needs no residual matvec
+            st0 = _init_j(p_ws, _gather_vec(x, idx), cfg_ws, r0=r_full)
+            if inner == "bcd":
+                from convex_optimization_tpu.solvers.bcd import bcd
+
+                cfg_b = dataclasses.replace(cfg_ws, use_pallas=True)
+                block_L = _block_power_j(A_t_ws)
+                s_ws = bcd(p_ws, block_L, st0, cfg_b, None, A_t_ws)
+            else:
+                s_ws = fista(p_ws, L_total, st0, cfg_ws, None, A_t_ws)
+        else:
+            # XLA fallback (non-TPU backends / f64 / no eligible block)
+            p_ws = dataclasses.replace(problem,
+                                       A=_gather_cols(problem.A, idx))
+            s_ws = fista(p_ws, L_total,
+                         _init_j(p_ws, _gather_vec(x, idx), cfg_ws),
+                         cfg_ws, None)
         total_inner += int(s_ws.k)
-        x = scatter_vec(s_ws.x_best, idx)
+        x = _scatter_vec(s_ws.x_best, idx, n)
         # full-width re-screen + honest gap for the next round / the result
-        idx_np, info = screen(x)
+        idx_np, info, r_full = screen(x)
 
     wall = time.perf_counter() - t0
     return x, info, {"rounds": rounds, "inner_iters": total_inner,
-                     "wall_s": wall}
+                     "wall_s": wall, "setup_s": t_setup, "burn_s": t_burn,
+                     "kernel_routed": A_t_full is not None,
+                     "ws_size": int(len(idx_np)) if idx_np is not None
+                     else n}

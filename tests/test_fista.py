@@ -157,6 +157,33 @@ def test_working_set_certify():
     assert res.converged and res.rel_gap <= 1e-8
 
 
+@pytest.mark.parametrize("inner", ["fista", "bcd"])
+def test_working_set_kernel_routed(inner):
+    """The kernel-routed working-set path (round 3, VERDICT r2 #4): burn-in,
+    screens, gathers, and compact solves all run through the interpret-mode
+    Pallas kernels (force_kernels=True on CPU) and must reach the same
+    solution as the plain full-width solve.  bucket < n forces real
+    compaction, exercising the A_t row-gather and the NaN-placeholder
+    compact Problem."""
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.core.objective import duality_gap
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.working_set import solve_working_set
+
+    inst = make_lasso_instance(jax.random.PRNGKey(63), 128, 1024)
+    cfg = SolverConfig(tol=1e-5, max_iters=5000)
+    x, info, meta = solve_working_set(inst.problem, cfg, bucket=128,
+                                      inner=inner, force_kernels=True)
+    assert meta["kernel_routed"], meta
+    assert float(info.rel_gap) <= 1e-5, float(info.rel_gap)
+    # the reported gap must be honest: recompute it independently full-width
+    chk = duality_gap(inst.problem, x)
+    assert float(chk.rel_gap) <= 1.5e-5, float(chk.rel_gap)
+    ref = solve(inst.problem, "fista", tol=1e-5, max_iters=5000)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=5e-4)
+
+
 def test_lambda_path_bcd_matches_fista():
     """The bcd/bcd_pallas warm-started path (one compiled GS program, VPU
     kernels where eligible) must match the FISTA path point-for-point."""
