@@ -141,6 +141,7 @@ def solve(
     if method == "bcd_pallas":
         cfg_overrides.setdefault("use_pallas", True)
     admm_force = bool(cfg_overrides.pop("admm_force", False))
+    admm_setup_mode = cfg_overrides.pop("admm_setup", "device")
     if cfg_overrides:
         cfg = dataclasses.replace(cfg, **cfg_overrides)
 
@@ -295,18 +296,25 @@ def solve(
         # eigenbasis of an ill-conditioned Gram is inaccurate enough that
         # the solve stalls near 1e-2 relative gap (measured 10k x 100k,
         # round 1) while silently burning max_iters.  Pass admm_force=True
-        # to run anyway (e.g. for well-conditioned A or loose tolerances).
-        if min(problem.m, problem.n) > 4096 and not admm_force:
+        # to run anyway (e.g. for well-conditioned A or loose tolerances),
+        # or admm_setup='host' for the host-f64 eigendecomposition path
+        # (admm_setup_host: f32 loop unchanged, f64-accurate eigenbasis —
+        # the round-3 attempt at lifting the fence, VERDICT r2 #8).
+        if (min(problem.m, problem.n) > 4096 and not admm_force
+                and admm_setup_mode != "host"):
             import warnings
 
             warnings.warn(
                 "admm at min(m, n) > 4096 stalls ~1e-2 rel gap (f32 eigh "
                 "accuracy; see BASELINE.md) — falling back to FISTA. "
-                "Pass admm_force=True to run ADMM anyway.",
+                "Pass admm_force=True to run ADMM anyway, or "
+                "admm_setup='host' for the host-f64 eigh setup.",
                 stacklevel=2)
             return solve(problem, "fista", x0=x0, cfg=cfg, mesh=mesh,
                          certify=certify)
-        fac = admm_mod.admm_setup(problem)
+        fac = (admm_mod.admm_setup_host(problem)
+               if admm_setup_mode == "host"
+               else admm_mod.admm_setup(problem))
         make_state = lambda x: admm_mod.init_state(problem, x, cfg)
         jfn = admm_mod.admm
         jargs = lambda s: (problem, fac, s, cfg)

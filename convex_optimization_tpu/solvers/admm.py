@@ -95,6 +95,40 @@ def admm_setup(problem: Problem) -> ADMMFactors:
     return ADMMFactors(V=V, s=s, Atb=A.T @ b, use_woodbury=use_woodbury)
 
 
+def admm_setup_host(problem: Problem) -> ADMMFactors:
+    """Host-eigh setup (round 3, VERDICT r2 #8 — the attempted fix behind
+    the >4096 scale fence): the Gram is computed on the DEVICE (one matmul,
+    f32), fetched, and eigendecomposed in FLOAT64 on the host with LAPACK;
+    the factors go back as problem-dtype arrays and the f32 iteration loop
+    is unchanged.
+
+    Rationale: the fence exists because an on-device f32 eigendecomposition
+    of an ill-conditioned 10k-dim Gram is inaccurate enough to stall the
+    solve near 1e-2 relative gap (BASELINE.md, round 1).  A float64 eigh is
+    backward-stable at ~1e-16: the only remaining error sources are the f32
+    rounding of the Gram itself (~1e-7 relative, a FIXED perturbation — the
+    x-update then solves a nearby quadratic exactly) and the f32 rounding
+    of applying V in the loop.  Whether that rescues 1e-6-grade convergence
+    at scale is an empirical question the scale measurement answers; the
+    duality-gap certificate stays honest either way (it is computed from
+    the real A at the feasible iterate z)."""
+    import numpy as np
+
+    A, b = problem.A, problem.b
+    m, n = A.shape
+    use_woodbury = n > m
+    G = jax.jit(lambda a: a @ a.T if use_woodbury else a.T @ a)(A)
+    G64 = np.asarray(jax.device_get(G), dtype=np.float64)
+    del G
+    G64 = 0.5 * (G64 + G64.T)                # exact symmetry for LAPACK
+    s64, V64 = np.linalg.eigh(G64)
+    s64 = np.maximum(s64, 0.0)
+    dtype = problem.dtype
+    return ADMMFactors(V=jnp.asarray(V64, dtype), s=jnp.asarray(s64, dtype),
+                       Atb=jax.jit(lambda a, v: a.T @ v)(A, b),
+                       use_woodbury=use_woodbury)
+
+
 def _x_update(problem: Problem, fac: ADMMFactors, q: jax.Array,
               c: jax.Array) -> jax.Array:
     """Solve (A^T A + c I) x = q exactly via the cached eigenbasis."""

@@ -97,3 +97,44 @@ def test_admm_scale_fence_falls_back_with_warning():
         res = solve(inst.problem, "admm", tol=1e-4, max_iters=1500)
     assert res.method == "fista"
     assert res.converged
+
+
+def test_admm_host_setup_beats_device_setup():
+    """admm_setup_host (round 3: f64 LAPACK eigh on the host, f32 loop
+    unchanged) certifies a DEEPER gap than the f32 device eigh — on this
+    instance the host-setup solve hits 1e-5 in ~90 iterations while the
+    device-setup one stalls short of it for 3000 (measured; exactly the
+    failure mode the >4096 scale fence documents, just milder at 96x384).
+    The solution must still agree with FISTA's."""
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+    inst = make_lasso_instance(jax.random.PRNGKey(17), 96, 384)
+    host = solve(inst.problem, "admm", tol=1e-5, max_iters=3000,
+                 admm_setup="host")
+    assert host.converged, host.rel_gap
+    dev = solve(inst.problem, "admm", tol=1e-5, max_iters=300)
+    assert host.rel_gap < dev.rel_gap
+    ref = solve(inst.problem, "fista", tol=1e-5, max_iters=5000)
+    np.testing.assert_allclose(np.asarray(host.x), np.asarray(ref.x),
+                               atol=5e-4)
+
+
+def test_admm_host_setup_skips_fence():
+    """admm_setup='host' takes the host-f64 path above the fence instead of
+    the FISTA fallback (small n keeps the eigh cheap: m > 4096 but the
+    Woodbury side is n)."""
+    import warnings
+
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+    # min(m, n) governs the Gram side; use m slightly above the fence and
+    # tiny n so the host eigh is n x n and fast -- wait, min(4104, 64) = 64
+    # is BELOW the fence.  The fence triggers on min(m, n) > 4096, so this
+    # must use min > 4096: keep both just above with a rank-deficient quick
+    # solve at loose tol.
+    inst = make_lasso_instance(jax.random.PRNGKey(19), 4104, 4160)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # no fence warning allowed
+        res = solve(inst.problem, "admm", tol=1e-3, max_iters=400,
+                    stall_checks=10, admm_setup="host")
+    assert res.method == "admm"
