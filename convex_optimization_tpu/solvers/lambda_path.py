@@ -101,6 +101,34 @@ def lambda_path(
     xs, gaps, iters, kept = [], [], [], []
     x_warm = None
 
+    if not compact and method in ("fista_ws", "bcd_ws"):
+        # working-set path (round 3, VERDICT r2 #4): each point re-solves a
+        # compacted subproblem whose support overlaps the previous point's,
+        # so the kernel route (A_t + spectral norm) is computed ONCE and
+        # every bucket-shape program — burn-in, screen, gather, compact
+        # solve — persists across the whole path (module-level jits in
+        # solvers/working_set.py).  lam1 is data, so path points only ever
+        # add NEW shapes when the support outgrows a bucket.
+        from convex_optimization_tpu.solvers.working_set import (
+            make_ws_route,
+            solve_working_set,
+        )
+
+        route = make_ws_route(problem)
+        inner = "bcd" if method == "bcd_ws" else "fista"
+        for lam in lambdas:
+            p = problem.with_lam1(lam)
+            x_w, info, meta = solve_working_set(
+                p, cfg, x0=x_warm, inner=inner, route=route)
+            x_warm = x_w
+            xs.append(x_w)
+            gaps.append(info.rel_gap)
+            iters.append(jnp.asarray(meta["inner_iters"], jnp.int32))
+            kept.append(meta["ws_size"])
+        return PathResult(lambdas=lambdas, xs=jnp.stack(xs),
+                          gaps=jnp.stack(gaps), iters=jnp.stack(iters),
+                          kept=jnp.asarray(kept))
+
     if not compact and method in ("bcd", "bcd_pallas"):
         import dataclasses as _dc
 

@@ -158,11 +158,23 @@ def _screen_xla_j(problem, x):
     return keep, info, r
 
 
+def make_ws_route(problem: Problem, force_kernels: bool = False):
+    """Precompute the lam-independent pieces of the working-set solver —
+    the transposed layout (or None off the kernel route) and the spectral
+    norm — for reuse across solve_working_set calls on the same A (lambda
+    paths pass this as ``route=``)."""
+    A_t_full, _ = _kernel_route(problem, force_kernels)
+    L_total = (_spec_t_j(A_t_full) if A_t_full is not None
+               else spectral_norm_sq(problem.A)) + problem.lam2
+    return A_t_full, L_total
+
+
 def solve_working_set(problem: Problem, cfg: SolverConfig, *,
                       x0: Optional[jax.Array] = None,
                       init_iters: int = 100, bucket: int = 2048,
                       max_rounds: int = 8, inner: str = "fista",
-                      force_kernels: bool = False):
+                      force_kernels: bool = False,
+                      route=None):
     """Returns (x_full, final GapInfo, wall breakdown dict).
 
     Used by api.solve(method='fista_ws' | 'bcd_ws').  ``inner`` picks the
@@ -171,16 +183,30 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     sweeps via the fused VPU kernel — fewer sweeps to the f32 floor, plus
     one per-bucket block-Lipschitz program).  'bcd' requires the kernel
     route; buckets fall back to 'fista' where its block gate fails.
+
+    ``route``: a (A_t_full_or_None, L_total) pair from a previous call on
+    the SAME A (lambda paths: the relayout and the spectral norm are
+    lam-independent, so the path computes them once and every point reuses
+    them along with all compiled bucket programs).
     """
     if problem.penalty.kind not in ("l1", "nonneg_l1"):
         raise ValueError("working-set solver supports l1 / nonneg_l1")
     n, m = problem.n, problem.m
+    # adaptive bucket: 2048 is right at the 100k north star but rounds a
+    # 55-column working set up to ALL of a n=2000 problem (the full-width
+    # fallback then burns max_iters — measured on the config1 CI path).
+    # Multiples of 128 keep every bucket VPU-block-eligible.
+    bucket = min(bucket, max(128, (n // 8) // 128 * 128))
     t0 = time.perf_counter()
 
-    A_t_full, _B_full = _kernel_route(problem, force_kernels)
+    if route is not None:
+        A_t_full, L_total = route
+    else:
+        A_t_full, _B_full = _kernel_route(problem, force_kernels)
+        L_total = (_spec_t_j(A_t_full) if A_t_full is not None
+                   else spectral_norm_sq(problem.A)) + problem.lam2
 
     if A_t_full is not None:
-        L_total = _spec_t_j(A_t_full) + problem.lam2
         A_t_view = A_t_full.reshape(n, m)
 
         def screen(x):
@@ -188,8 +214,6 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             return (np.nonzero(np.asarray(jax.device_get(keep)))[0],
                     info, r)
     else:
-        L_total = spectral_norm_sq(problem.A) + problem.lam2
-
         def screen(x):
             keep, info, r = _screen_xla_j(problem, x)
             return (np.nonzero(np.asarray(jax.device_get(keep)))[0],
@@ -248,7 +272,10 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
         k_b = _bucket(len(idx_np), n, bucket)
         if k_b >= n:
             # working set is everything: fall back to the plain solve
-            cfgf = dataclasses.replace(cfg, screen_every=0)
+            # (with stall detection: the full-width f32 floor can sit just
+            # above tol, and the final screen recomputes the honest gap)
+            cfgf = dataclasses.replace(cfg, screen_every=0,
+                                       stall_checks=cfg.stall_checks or 5)
             st = (_init_j(problem, x, cfgf, r0=r_full)
                   if A_t_full is not None else _init_j(problem, x, cfgf))
             s = fista(problem, L_total, st, cfgf, None, A_t_full)
@@ -260,7 +287,12 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             extra = np.setdiff1d(np.arange(n), idx_np)[:k_b - len(idx_np)]
             idx_np = np.sort(np.concatenate([idx_np, extra]))
         idx = jnp.asarray(idx_np)
-        cfg_ws = dataclasses.replace(cfg, screen_every=0)
+        # compact solves always get stall detection: they bottom out at the
+        # f32 noise floor of the SUBPROBLEM, and the honest full-width
+        # re-screen follows anyway — burning max_iters there is pure waste
+        # (measured: 10k iters on a 55-column bucket at tol=1e-6)
+        cfg_ws = dataclasses.replace(cfg, screen_every=0,
+                                     stall_checks=cfg.stall_checks or 5)
 
         b_ws = _compact_block(k_b) if A_t_full is not None else 0
         if b_ws:

@@ -157,6 +157,24 @@ def test_working_set_certify():
     assert res.converged and res.rel_gap <= 1e-8
 
 
+def test_lambda_path_working_set_matches_fista_path():
+    """The working-set lambda path (round 3: one kernel route + persistent
+    bucket programs across points) must match the plain FISTA path
+    point-for-point."""
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(27), 96, 384)
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=5)
+    ref = lambda_path(inst.problem, cfg, path_len=5)
+    ws = lambda_path(inst.problem, cfg, path_len=5, method="fista_ws")
+    assert ws.kept is not None
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(ws.xs[i]),
+                                   np.asarray(ref.xs[i]), atol=5e-4)
+
+
 @pytest.mark.parametrize("inner", ["fista", "bcd"])
 def test_working_set_kernel_routed(inner):
     """The kernel-routed working-set path (round 3, VERDICT r2 #4): burn-in,
