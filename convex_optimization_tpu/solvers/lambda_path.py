@@ -80,13 +80,14 @@ def lambda_path(
         sweeps than FISTA needs iterations — prefer 'fista' when the path
         descends far into the dense regime.
 
-    With ``mesh`` the path runs on the column-sharded FISTA: warm starts
+    With ``mesh`` the path runs column-sharded (FISTA or, with
+    method='bcd'/'bcd_pallas', per-chip fused GS sweeps): warm starts
     never leave the device mesh."""
     if mesh is not None:
         if compact:
             raise NotImplementedError("compact paths are single-device")
         return _lambda_path_sharded(problem, cfg, mesh, path_len,
-                                    lam_min_frac, lambdas)
+                                    lam_min_frac, lambdas, method=method)
     if lambdas is None:
         lmax = lambda_max(problem.A, problem.b, problem.penalty)
         # start just below lam_max (at lam_max the solution is exactly 0)
@@ -279,17 +280,24 @@ def lambda_path(
 
 
 def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
-                         lambdas):
+                         lambdas, method: str = "fista"):
     """Column-sharded warm-started path: one compiled shard_map program for
-    all path points (lam1 and the state are the only changing inputs)."""
+    all path points (lam1 and the state are the only changing inputs).
+    ``method`` picks the per-point solver — 'fista'/'ista' or
+    'bcd'/'bcd_pallas' (per-chip fused Gauss-Seidel sweeps, Jacobi merged
+    across chips; closes the round-2 FISTA-only asymmetry)."""
     import dataclasses
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+    from convex_optimization_tpu.ops.power_iter import (
+        block_spectral_norms_sq,
+        spectral_norm_sq,
+    )
     from convex_optimization_tpu.parallel.mesh import BLOCKS
     from convex_optimization_tpu.parallel.sharded import (
         _state_specs,
+        sharded_bcd,
         sharded_fista,
     )
 
@@ -305,7 +313,6 @@ def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
     A = jax.device_put(problem.A, NamedSharding(mesh, P(None, BLOCKS)))
     b = jax.device_put(problem.b, NamedSharding(mesh, P()))
     problem = dataclasses.replace(problem, A=A, b=b)
-    L_total = spectral_norm_sq(problem.A) + problem.lam2
 
     def make_state(xinit):
         s = init_state(problem, xinit, cfg)
@@ -316,8 +323,21 @@ def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
         )
 
     state = make_state(None)
-    jfn, args = sharded_fista(problem, L_total, state, cfg, mesh)
-    # args = (A, b, lam1, weights, L_total, col_norms, state): swap per point
+    if method in ("bcd", "bcd_pallas"):
+        from convex_optimization_tpu.solvers.bcd import pick_block_size
+
+        cfg = dataclasses.replace(cfg, use_pallas=(method == "bcd_pallas"))
+        multiple = 1
+        if problem.penalty.kind == "group_l2":
+            multiple = problem.n // problem.penalty.ngroups
+        bs = pick_block_size(problem.n // n_shards, cfg.block_size,
+                             multiple_of=multiple)
+        block_L = block_spectral_norms_sq(problem.A, problem.n // bs)
+        jfn, args = sharded_bcd(problem, block_L, state, cfg, mesh)
+    else:
+        L_total = spectral_norm_sq(problem.A) + problem.lam2
+        jfn, args = sharded_fista(problem, L_total, state, cfg, mesh)
+    # args = (A, b, lam1, weights, L-like, col_norms, state): swap per point
     xs, gaps, iters = [], [], []
     for lam in lambdas:
         out = jfn(*args[:2], lam, *args[3:6], state)

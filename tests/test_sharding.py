@@ -88,3 +88,19 @@ def test_sharded_lambda_path(mesh8):
     shard = lambda_path(inst.problem, cfg, path_len=5, mesh=mesh8)
     np.testing.assert_allclose(np.asarray(shard.xs), np.asarray(plain.xs),
                                atol=1e-4)
+
+
+def test_sharded_lambda_path_bcd(mesh8):
+    """The sharded BCD lambda path (round 3: closes the FISTA-only
+    asymmetry) reaches the same solutions as the sharded FISTA path."""
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(19), 96, 256)
+    cfg = SolverConfig(tol=1e-5, max_iters=3000, gap_every=10,
+                       block_size=16, stall_checks=10)
+    ref = lambda_path(inst.problem, cfg, path_len=5, mesh=mesh8)
+    bcd = lambda_path(inst.problem, cfg, path_len=5, mesh=mesh8,
+                      method="bcd")
+    np.testing.assert_allclose(np.asarray(bcd.xs), np.asarray(ref.xs),
+                               atol=2e-4)
