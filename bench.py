@@ -38,12 +38,16 @@ import numpy as np
 
 
 def numpy_bcd_sweep_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
-                            block: int, sweeps: int = 2) -> float:
+                            block: int, sweeps: int = 2,
+                            penalty_kind: str = "l1",
+                            lam2: float = 0.0) -> float:
     """Measured seconds per cyclic Gauss-Seidel BCD sweep, NumPy on host.
 
-    Per block: g_j = A_j^T r, soft-threshold prox with step 1/L_j, and the
-    incremental residual update r += A_j dx — the reference's hot loop
-    (SURVEY.md section 3.2) and the exact arithmetic of our fused kernel.
+    Per block: g_j = A_j^T r (+ lam2 x_j), prox with step 1/L_j
+    (soft-threshold for l1; shift-and-clip for nonneg_l1 — the config-3
+    variant), and the incremental residual update r += A_j dx — the
+    reference's hot loop (SURVEY.md section 3.2) and the exact arithmetic
+    of our fused kernel.
     """
     m, n = A.shape
     n_blocks = max(-(-n // block), 1)     # ceil: cover EVERY column
@@ -59,7 +63,7 @@ def numpy_bcd_sweep_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
             u = Aj.T @ (Aj @ v)
             v = u / max(np.linalg.norm(u), 1e-30)
         u = Aj @ v
-        L[j] = 1.05 * float(u @ u)
+        L[j] = 1.05 * float(u @ u) + lam2
 
     x = np.zeros(n, dtype=A.dtype)
     r = -b.copy()
@@ -72,8 +76,13 @@ def numpy_bcd_sweep_seconds(A: np.ndarray, b: np.ndarray, lam1: float,
             # python float: a np.float64 scalar would NEP-50-upcast the f32
             # vectors (and then A itself, via the matvec) to float64
             t = float(1.0 / L[j])
+            if lam2:
+                g = g + float(lam2) * x[sl]
             v = x[sl] - t * g
-            x_new = np.sign(v) * np.maximum(np.abs(v) - t * lam1, 0.0)
+            if penalty_kind == "nonneg_l1":
+                x_new = np.maximum(v - t * lam1, 0.0).astype(A.dtype)
+            else:
+                x_new = np.sign(v) * np.maximum(np.abs(v) - t * lam1, 0.0)
             r += Aj @ (x_new - x[sl])
             x[sl] = x_new
     t1 = time.perf_counter()

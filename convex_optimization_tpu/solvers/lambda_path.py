@@ -220,10 +220,14 @@ def lambda_path(
     from convex_optimization_tpu.core.objective import duality_gap, dual_witness
 
     n = problem.n
-    if problem.penalty.kind == "group_l2":
-        raise NotImplementedError(
-            "compact=True supports separable penalties (l1 / nonneg_l1); "
-            "run group lasso paths with compact=False")
+    is_group = problem.penalty.kind == "group_l2"
+    gsize = n // problem.penalty.ngroups if is_group else 1
+    ngroups = problem.penalty.ngroups if is_group else n
+    gw_full = None
+    if is_group:
+        gw_full = problem.penalty.weights
+        if gw_full is None:
+            gw_full = jnp.ones((ngroups,), problem.dtype)
     x_warm = jnp.zeros((n,), problem.dtype)
     eps = float(np.finfo(np.float32).eps)
     m = problem.m
@@ -246,22 +250,50 @@ def lambda_path(
         # the full problem at this lam
         radius = (jnp.sqrt(2.0 * gap_safe)
                   + jnp.sqrt(2.0 * cfg.tol * jnp.abs(info.primal) * 1.5))
-        margin = gamma * col_norms * r_norm
-        witness = jnp.abs(info.alpha * z) + info.alpha * margin
-        keep = ~(witness + radius * col_norms < lam)
+        if is_group:
+            # group sphere test (round 3, closes the r2 NotImplementedError):
+            # discard group g when ||(alpha z)_g|| + margin_g + radius
+            # * ||cn_g|| < lam w_g — the screen_keep group bound with the
+            # same cushioned radius; kept WHOLE groups keep gathers aligned
+            wg = (info.alpha * z).reshape(ngroups, gsize)
+            gn = jnp.linalg.norm(wg, axis=1)
+            gcol = jnp.sqrt(jnp.sum(col_norms.reshape(ngroups, gsize) ** 2,
+                                    axis=1))
+            gmargin = info.alpha * gamma * r_norm * gcol
+            gkeep = ~(gn + gmargin + radius * gcol < lam * gw_full)
+            keep = jnp.repeat(gkeep, gsize)
+        else:
+            margin = gamma * col_norms * r_norm
+            witness = jnp.abs(info.alpha * z) + info.alpha * margin
+            keep = ~(witness + radius * col_norms < lam)
         keep_np = np.asarray(jax.device_get(keep))
         idx = np.nonzero(keep_np)[0]
-        k_b = _bucket(len(idx), n)
-        if k_b > len(idx):     # pad the bucket with arbitrary extra columns
-            extra = np.setdiff1d(np.arange(n), idx)[:k_b - len(idx)]
-            idx = np.sort(np.concatenate([idx, extra]))
+        if is_group:
+            # bucket in GROUP units so gathers stay group-aligned
+            gidx = np.nonzero(np.asarray(jax.device_get(gkeep)))[0]
+            g_b = -(-_bucket(len(gidx) * gsize, n) // gsize)
+            if g_b > len(gidx):
+                extra = np.setdiff1d(np.arange(ngroups),
+                                     gidx)[:g_b - len(gidx)]
+                gidx = np.sort(np.concatenate([gidx, extra]))
+            idx = (gidx[:, None] * gsize + np.arange(gsize)).ravel()
+        else:
+            k_b = _bucket(len(idx), n)
+            if k_b > len(idx):   # pad the bucket with arbitrary extra columns
+                extra = np.setdiff1d(np.arange(n), idx)[:k_b - len(idx)]
+                idx = np.sort(np.concatenate([idx, extra]))
         idx_dev = jnp.asarray(idx)
 
         import dataclasses
 
+        pen_small = p.penalty.with_lam1(lam)
+        if is_group:
+            pen_small = dataclasses.replace(
+                pen_small, ngroups=len(idx) // gsize,
+                weights=gw_full[jnp.asarray(gidx)])
         p_small = dataclasses.replace(
             p, A=p.A[:, idx_dev],
-            penalty=p.penalty.with_lam1(lam),
+            penalty=pen_small,
         )
         state = init_state(p_small, x_warm[idx_dev], cfg)
         state = fista(p_small, L_total, state, cfg,

@@ -1,0 +1,104 @@
+"""Config-2 measurement (5k x 50k, warm-started 10-value lambda path) with
+the same-algorithm CPU baseline column (VERDICT r2 #6) and the round-3
+working-set path (VERDICT r2 #4: config2 path < 27.2 s target).
+
+Paths measured (same instance, same 10 geometric lambdas):
+  * method='bcd_pallas' — the round-2 production path (one compiled GS
+    program, 27.2 s in r2);
+  * method='bcd_ws'/'fista_ws' — the kernel-routed working-set path
+    (persistent bucket programs across points).
+
+vs_baseline: per-unit CPU cost from artifacts/baselines.json (measured on
+this host by scripts/measure_baselines.py) x the iteration counts OUR path
+used — the bench.py methodology (the baseline is the same algorithm with
+the same warm-start schedule, so unit counts transfer).
+
+Run: python scripts/measure_config2.py   (needs the axon relay)
+Env: C2_METHODS (comma list, default 'bcd_pallas,bcd_ws').
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.setswitchinterval(0.001)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_co_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+_T0 = time.perf_counter()
+BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "artifacts", "baselines.json")
+
+
+def tick(msg):
+    print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main():
+    from convex_optimization_tpu.core.datagen import BENCH_CONFIGS
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    with open(BASE) as f:
+        baselines = json.load(f)
+    per_sweep = baselines["config2_5000x50000_bcd_sweep_s"]
+    per_fista = baselines["config2_5000x50000_fista_iter_s"]
+
+    inst = BENCH_CONFIGS["config2"].instance(jax.random.PRNGKey(0))
+    problem = inst.problem
+    tick("instance ready")
+
+    cfg = SolverConfig(tol=1e-6, max_iters=10_000, gap_every=10,
+                       stall_checks=10, block_size=128)
+    methods = os.environ.get("C2_METHODS", "bcd_pallas,bcd_ws").split(",")
+    results = {}
+    for method in methods:
+        t0 = time.perf_counter()
+        pr = lambda_path(problem, cfg, path_len=10, method=method)
+        # value fetch = the only honest barrier on the relay
+        float(jnp.sum(pr.xs[-1])); float(jnp.max(pr.gaps))
+        wall = time.perf_counter() - t0
+        iters = [int(k) for k in pr.iters]
+        # per-unit: GS sweep for bcd paths; FISTA iteration for ws paths
+        # (ws inner iterations are CHEAPER than full-width units — most run
+        # on the compacted slab — so charging the baseline one full-width
+        # unit per inner iteration would FLATTER us.  Scale ws baselines by
+        # the bcd path's unit count instead when available: same schedule,
+        # same accuracy targets.)
+        unit = per_sweep if "bcd" in method else per_fista
+        results[method] = {
+            "wall_s": round(wall, 2), "iters": iters,
+            "total_units": int(sum(iters)),
+            "baseline_s": round(unit * sum(iters), 1),
+            "max_rel_gap": float(jnp.max(pr.gaps)),
+        }
+        if pr.kept is not None:
+            results[method]["kept"] = [int(k) for k in pr.kept]
+        tick(f"{method}: wall={wall:.2f}s units={sum(iters)} "
+             f"iters={iters}")
+
+    # the honest vs_baseline for ws uses the plain path's unit count
+    ref_units = (results.get("bcd_pallas") or
+                 next(iter(results.values())))["total_units"]
+    ref_unit_cost = per_sweep
+    for method, row in results.items():
+        base = (row["baseline_s"] if "ws" not in method
+                else round(ref_unit_cost * ref_units, 1))
+        row["vs_baseline"] = round(base / row["wall_s"], 2)
+    print(json.dumps({
+        "metric": "config2_lambda_path_10pt_5000x50000",
+        "per_sweep_baseline_s": per_sweep,
+        "per_fista_baseline_s": per_fista,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

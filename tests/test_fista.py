@@ -222,3 +222,27 @@ def test_lambda_path_bcd_matches_fista():
         # coordinates; parity within that class is the check
         np.testing.assert_allclose(np.asarray(got.xs), np.asarray(ref.xs),
                                    atol=6e-3)
+
+
+def test_lambda_path_compact_group():
+    """Group-lasso compacting path (round 3: closes the r2
+    NotImplementedError): whole-group gathers, group sphere screen, matches
+    the non-compact group path point-for-point."""
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(33), 96, 384,
+                               penalty_kind="group_l2", ngroups=48)
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=5,
+                       stall_checks=10)
+    ref = lambda_path(inst.problem, cfg, path_len=5)
+    comp = lambda_path(inst.problem, cfg, path_len=5, compact=True)
+    assert comp.kept is not None
+    gsize = 384 // 48
+    for i in range(5):
+        assert int(comp.kept[i]) % gsize == 0    # whole groups only
+        np.testing.assert_allclose(np.asarray(comp.xs[i]),
+                                   np.asarray(ref.xs[i]), atol=5e-4)
+    # compaction must actually bite at the sparse end of the path
+    assert int(comp.kept[0]) < 384
