@@ -127,3 +127,104 @@ def sharded_fista_rows(problem: Problem, L_total, state0: SolveState,
     )
     args = (problem.A, problem.b, pen.lam1, L_total, col_norms, state0)
     return jax.jit(f), args
+
+
+def sharded_bcd_rows(problem: Problem, block_L, state0: SolveState,
+                     cfg: SolverConfig, mesh: jax.sharding.Mesh,
+                     col_norms: jax.Array | None = None):
+    """Block-CD with rows of A sharded over mesh axis 'rows' (round 3:
+    closes the r2 fista-only asymmetry for the DP layout).
+
+    Unlike the column-sharded solver (Jacobi ACROSS chips + line-searched
+    merge, parallel/sharded.py), row sharding keeps x replicated, so the
+    sweep is TRUE cyclic Gauss-Seidel — identical arithmetic to the
+    single-device reference sweep — at the cost of one B-vector psum per
+    block (the block gradient consensus):
+
+        g_j    = psum(A_loc[:, j]^T r_loc) + lam2 x_j     # (B,) psum
+        x_j'   = prox_{t_j}(x_j - t_j g_j)                # replicated
+        r_loc += A_loc[:, j] (x_j' - x_j)                 # local slice
+
+    Latency-bound on a real slice (n_blocks small collectives per sweep
+    vs the column layout's single m-vector consensus) — the right layout
+    when m >> n or when GS convergence is worth the chatter.  Exact
+    residual refresh at every gap check pins incremental drift, as in
+    solvers/bcd.py.  Returns (jitted_fn, args) like sharded_fista_rows.
+    """
+    pen = problem.penalty
+    lam2 = problem.lam2
+    screen = cfg.screen_every > 0
+    if col_norms is None:
+        col_norms = (problem.col_norms() if screen
+                     else jnp.zeros(problem.n, problem.dtype))
+    n_blocks = block_L.shape[0]
+    n = problem.n
+    if n % n_blocks != 0:
+        raise ValueError(f"n={n} not divisible by n_blocks={n_blocks}")
+    B = n // n_blocks
+    if pen.kind == "group_l2" and B % (n // pen.ngroups) != 0:
+        raise ValueError("block size must contain whole groups")
+
+    def local_solve(A_loc, b_loc, lam1, bL, cn, s: SolveState) -> SolveState:
+        pen_l = pen.with_lam1(lam1)
+        steps = cfg.step_scale / (bL + lam2)          # (n_blocks,)
+
+        def sweep(s: SolveState) -> SolveState:
+            def one_block(j, carry):
+                x, r_loc = carry
+                c0 = j * B
+                Aj = lax.dynamic_slice_in_dim(A_loc, c0, B, axis=1)
+                xj = lax.dynamic_slice_in_dim(x, c0, B)
+                g = lax.psum(Aj.T @ r_loc, ROWS) + lam2 * xj
+                t = steps[j]
+                # per-block prox via a full-width masked prox would pay
+                # O(n) per block; slice-local prox instead (separable and
+                # group-aligned by the B % gsize check above)
+                v = xj - t * g
+                if pen_l.kind == "l1":
+                    xn = jnp.sign(v) * jnp.maximum(jnp.abs(v) - t * lam1, 0.0)
+                elif pen_l.kind == "nonneg_l1":
+                    xn = jnp.maximum(v - t * lam1, 0.0)
+                else:                                  # group_l2
+                    gsz = n // pen.ngroups
+                    gv = v.reshape(B // gsz, gsz)
+                    gn = jnp.linalg.norm(gv, axis=1, keepdims=True)
+                    gpb = B // gsz
+                    w = (jnp.ones((gpb, 1), v.dtype) if pen.weights is None
+                         else lax.dynamic_slice_in_dim(
+                             pen.weights, j * gpb, gpb).reshape(gpb, 1))
+                    scale = jnp.maximum(
+                        0.0, 1.0 - t * lam1 * w / jnp.maximum(gn, 1e-30))
+                    xn = (gv * scale).reshape(B)
+                keep_j = lax.dynamic_slice_in_dim(s.keep_mask, c0, B)
+                xn = jnp.where(keep_j, xn, 0.0)
+                r_loc = r_loc + Aj @ (xn - xj)
+                x = lax.dynamic_update_slice_in_dim(x, xn, c0, 0)
+                return x, r_loc
+
+            x, r_loc = lax.fori_loop(0, n_blocks, one_block, (s.x, s.r))
+            return s._replace(x=x, r=r_loc, k=s.k + 1)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.gap_every, lambda _, st: sweep(st), s)
+            # exact refresh: the sweep maintains r_loc incrementally
+            s = s._replace(r=A_loc @ s.x - b_loc)
+            return _gap_check_rows(pen_l, lam2, A_loc, b_loc, s, cn, screen)
+
+        def cond(s):
+            go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            if cfg.stall_checks > 0:
+                go = go & (s.stall < cfg.stall_checks)
+            return go
+
+        s = _gap_check_rows(pen_l, lam2, A_loc, b_loc, s, cn, screen)
+        return lax.while_loop(cond, body, s)
+
+    sspec = _state_specs_rows()
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(ROWS, None), P(ROWS), P(), P(), P(), sspec),
+        out_specs=sspec,
+    )
+    args = (problem.A, problem.b, pen.lam1, block_L, col_norms, state0)
+    return jax.jit(f), args

@@ -481,12 +481,14 @@ def _solve_row_sharded(problem: Problem, method: str,
     from convex_optimization_tpu.api import Result
     from convex_optimization_tpu.solvers.fista import init_state
     from convex_optimization_tpu.parallel.row_sharded import (
+        sharded_bcd_rows,
         sharded_fista_rows,
         _state_specs_rows,
     )
 
-    if method not in ("fista", "ista"):
-        raise ValueError(f"row sharding supports fista/ista, got {method!r}")
+    if method not in ("fista", "ista", "bcd", "bcd_pallas"):
+        raise ValueError(
+            f"row sharding supports fista/ista/bcd, got {method!r}")
     n_shards = mesh.shape[ROWS]
     if problem.m % n_shards != 0:
         raise ValueError(f"m={problem.m} must divide over {n_shards} shards")
@@ -509,9 +511,26 @@ def _solve_row_sharded(problem: Problem, method: str,
                          is_leaf=lambda v: isinstance(v, P)),
         )
 
-    L_total = spectral_norm_sq(problem.A) + problem.lam2
-    jfn, args = sharded_fista_rows(problem, L_total, make_state(x0), cfg,
-                                   mesh)
+    if method in ("bcd", "bcd_pallas"):
+        # rows-sharded GS sweep is plain-XLA (the fused kernel needs the
+        # whole column resident on one chip, which row sharding denies);
+        # bcd_pallas is accepted and served by the same program
+        from convex_optimization_tpu.ops.power_iter import (
+            block_spectral_norms_sq,
+        )
+        from convex_optimization_tpu.solvers.bcd import pick_block_size
+
+        multiple = 1
+        if problem.penalty.kind == "group_l2":
+            multiple = problem.n // problem.penalty.ngroups
+        bs = pick_block_size(problem.n, cfg.block_size, multiple_of=multiple)
+        block_L = block_spectral_norms_sq(problem.A, problem.n // bs)
+        jfn, args = sharded_bcd_rows(problem, block_L, make_state(x0), cfg,
+                                     mesh)
+    else:
+        L_total = spectral_norm_sq(problem.A) + problem.lam2
+        jfn, args = sharded_fista_rows(problem, L_total, make_state(x0), cfg,
+                                       mesh)
     final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
     iters = int(final.k)
     return Result(

@@ -55,3 +55,21 @@ def test_row_sharded_screening(rmesh8):
     assert shr.converged
     np.testing.assert_allclose(np.asarray(shr.x), np.asarray(ref.x),
                                atol=5e-5)
+
+
+@pytest.mark.parametrize("kind,ngroups", [("l1", 0), ("nonneg_l1", 0),
+                                          ("group_l2", 16)])
+def test_row_sharded_bcd_matches_unsharded(rmesh8, kind, ngroups):
+    """Row-sharded BCD (round 3: true Gauss-Seidel, per-block psum) must
+    match the single-device BCD — same sweep arithmetic, so tight
+    tolerance."""
+    inst = make_lasso_instance(jax.random.PRNGKey(41), 128, 256,
+                               penalty_kind=kind, ngroups=ngroups)
+    ref = solve(inst.problem, "bcd", tol=1e-5, max_iters=600, gap_every=5,
+                block_size=32)
+    shr = solve(inst.problem, "bcd", mesh=rmesh8, tol=1e-5, max_iters=600,
+                gap_every=5, block_size=32)
+    assert shr.method == "row_sharded_bcd"
+    assert shr.converged == ref.converged
+    np.testing.assert_allclose(np.asarray(shr.x), np.asarray(ref.x),
+                               atol=1e-4)
