@@ -155,3 +155,124 @@ def grid_sharded_fista(problem: Problem, L_total, state0: SolveState,
     args = (problem.A, problem.b, pen.lam1, weights, L_total, col_norms,
             state0)
     return jax.jit(f), args
+
+
+def grid_sharded_bcd(problem: Problem, block_L, state0: SolveState,
+                     cfg: SolverConfig, mesh: jax.sharding.Mesh,
+                     col_norms: jax.Array | None = None):
+    """2-D sharded block-CD (round 3: closes the r2 fista-only asymmetry
+    for the DP x TP grid).  The hybrid of the two 1-D BCD layouts:
+
+      * WITHIN a chip's column slab: cyclic Gauss-Seidel over its local
+        blocks, each block gradient psum'd over ROWS (the row-sharded
+        pattern — g_j needs the full residual, which lives row-sharded);
+      * ACROSS column shards: Jacobi with the line-searched merge of
+        parallel/sharded.py (chips sweep concurrently against the shared
+        residual; the aggregated direction is safeguarded by the same
+        closed-form line search, floored at 1/n_cols for guaranteed
+        descent by Jacobi averaging).
+
+    Exact residual refresh (psum over BLOCKS) before every gap check pins
+    incremental drift, as everywhere else.  Returns (jitted_fn, args).
+    """
+    n_cols = mesh.shape[BLOCKS]
+    pen = problem.penalty
+    lam2 = problem.lam2
+    kind = pen.kind
+    screen = cfg.screen_every > 0
+    n = problem.n
+    if col_norms is None:
+        col_norms = (problem.col_norms() if screen
+                     else jnp.zeros(n, problem.dtype))
+    weights = pen.weights
+    if kind == "group_l2" and weights is None:
+        weights = jnp.ones((pen.ngroups,), problem.dtype)
+    w_spec = P(BLOCKS) if kind == "group_l2" else P()
+    if weights is None:
+        weights = jnp.zeros((1,), problem.dtype)
+
+    n_blocks = block_L.shape[0]
+    if n % n_blocks != 0 or n_blocks % n_cols != 0:
+        raise ValueError(
+            f"n={n} / n_blocks={n_blocks} must tile over {n_cols} column "
+            f"shards")
+    B = n // n_blocks
+    nb_loc = n_blocks // n_cols
+    gsz = n // pen.ngroups if kind == "group_l2" else 1
+    if kind == "group_l2" and B % gsz != 0:
+        raise ValueError("block size must contain whole groups")
+
+    from convex_optimization_tpu.parallel.row_sharded import _block_prox_slice
+    from convex_optimization_tpu.parallel.sharded import _local_penalty
+
+    def local_solve(A_loc, b_loc, lam1, weights_loc, bL_loc, cn_loc,
+                    s: SolveState) -> SolveState:
+        pen_loc = _local_penalty(pen, n_cols, lam1, weights_loc
+                                 if kind == "group_l2" else None)
+        steps = cfg.step_scale / (bL_loc + lam2)      # (nb_loc,)
+        w_arr = weights_loc if kind == "group_l2" else None
+
+        def sweep(s: SolveState) -> SolveState:
+            x_loc, r_rep = s.x, s.r       # (n/C,), (m/R,) [BLOCKS-replicated]
+
+            def one_block(j, carry):
+                x, dr, r_cur = carry
+                c0 = j * B
+                Aj = lax.dynamic_slice_in_dim(A_loc, c0, B, axis=1)
+                xj = lax.dynamic_slice_in_dim(x, c0, B)
+                g = lax.psum(Aj.T @ r_cur, ROWS) + lam2 * xj
+                t = steps[j]
+                xn = _block_prox_slice(kind, lam1, w_arr, xj - t * g, t, j,
+                                       gsz)
+                keep_j = lax.dynamic_slice_in_dim(s.keep_mask, c0, B)
+                xn = jnp.where(keep_j, xn, 0.0)
+                d = Aj @ (xn - xj)        # (m/R,) local residual delta
+                x = lax.dynamic_update_slice_in_dim(x, xn, c0, 0)
+                return x, dr + d, r_cur + d
+
+            # r enters BLOCKS-replicated but the sweep makes it vary per
+            # column shard — mark the carry varying for shard_map's VMA
+            # checks (same pattern as parallel/sharded.py sweep())
+            r_in = lax.pcast(r_rep, (BLOCKS,), to="varying")
+            x_new, dr_loc, _ = lax.fori_loop(
+                0, nb_loc, one_block,
+                (x_loc, jnp.zeros_like(r_in), r_in))
+            dx = x_new - x_loc
+            dr = lax.psum(dr_loc, BLOCKS)         # merge column shards
+            lin = (lax.psum(jnp.vdot(r_rep, dr), ROWS)
+                   + lam2 * lax.psum(jnp.vdot(x_loc, dx), BLOCKS))
+            den = (lax.psum(jnp.vdot(dr, dr), ROWS)
+                   + lam2 * lax.psum(jnp.vdot(dx, dx), BLOCKS))
+            dG = lax.psum(pen_loc.value_diff(x_loc, dx), BLOCKS)
+            gamma_ls = jnp.clip(-(lin + dG) / jnp.maximum(den, 1e-30),
+                                0.0, 1.0)
+            gamma = jnp.maximum(gamma_ls, 1.0 / n_cols)
+            return s._replace(x=x_loc + gamma * dx, r=r_rep + gamma * dr,
+                              k=s.k + 1)
+
+        def body(s):
+            s = lax.fori_loop(0, cfg.gap_every, lambda _, st: sweep(st), s)
+            # exact refresh (one psum over BLOCKS) pins incremental drift
+            s = s._replace(r=lax.psum(A_loc @ s.x, BLOCKS) - b_loc)
+            return _gap_check_grid(pen_loc, lam2, A_loc, b_loc, s, cn_loc,
+                                   screen)
+
+        def cond(s):
+            go = (s.k < cfg.max_iters) & (s.rel_gap > cfg.tol)
+            if cfg.stall_checks > 0:
+                go = go & (s.stall < cfg.stall_checks)
+            return go
+
+        s = _gap_check_grid(pen_loc, lam2, A_loc, b_loc, s, cn_loc, screen)
+        return lax.while_loop(cond, body, s)
+
+    sspec = _state_specs_grid()
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(ROWS, BLOCKS), P(ROWS), P(), w_spec, P(BLOCKS),
+                  P(BLOCKS), sspec),
+        out_specs=sspec,
+    )
+    args = (problem.A, problem.b, pen.lam1, weights, block_L, col_norms,
+            state0)
+    return jax.jit(f), args

@@ -129,6 +129,26 @@ def sharded_fista_rows(problem: Problem, L_total, state0: SolveState,
     return jax.jit(f), args
 
 
+def _block_prox_slice(kind: str, lam1, weights, v, t, j, gsz: int):
+    """Prox of one B-wide block slice (separable penalties; group-aligned
+    blocks for group_l2 — the caller guarantees B % gsz == 0).  ``weights``
+    is the per-group weight array covering the caller's x width (None =>
+    unit weights); ``j`` is the block index into it."""
+    B = v.shape[0]
+    if kind == "l1":
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t * lam1, 0.0)
+    if kind == "nonneg_l1":
+        return jnp.maximum(v - t * lam1, 0.0)
+    # group_l2
+    gpb = B // gsz
+    gv = v.reshape(gpb, gsz)
+    gn = jnp.linalg.norm(gv, axis=1, keepdims=True)
+    w = (jnp.ones((gpb, 1), v.dtype) if weights is None
+         else lax.dynamic_slice_in_dim(weights, j * gpb, gpb).reshape(gpb, 1))
+    scale = jnp.maximum(0.0, 1.0 - t * lam1 * w / jnp.maximum(gn, 1e-30))
+    return (gv * scale).reshape(B)
+
+
 def sharded_bcd_rows(problem: Problem, block_L, state0: SolveState,
                      cfg: SolverConfig, mesh: jax.sharding.Mesh,
                      col_norms: jax.Array | None = None):
@@ -181,21 +201,9 @@ def sharded_bcd_rows(problem: Problem, block_L, state0: SolveState,
                 # O(n) per block; slice-local prox instead (separable and
                 # group-aligned by the B % gsize check above)
                 v = xj - t * g
-                if pen_l.kind == "l1":
-                    xn = jnp.sign(v) * jnp.maximum(jnp.abs(v) - t * lam1, 0.0)
-                elif pen_l.kind == "nonneg_l1":
-                    xn = jnp.maximum(v - t * lam1, 0.0)
-                else:                                  # group_l2
-                    gsz = n // pen.ngroups
-                    gv = v.reshape(B // gsz, gsz)
-                    gn = jnp.linalg.norm(gv, axis=1, keepdims=True)
-                    gpb = B // gsz
-                    w = (jnp.ones((gpb, 1), v.dtype) if pen.weights is None
-                         else lax.dynamic_slice_in_dim(
-                             pen.weights, j * gpb, gpb).reshape(gpb, 1))
-                    scale = jnp.maximum(
-                        0.0, 1.0 - t * lam1 * w / jnp.maximum(gn, 1e-30))
-                    xn = (gv * scale).reshape(B)
+                xn = _block_prox_slice(
+                    pen_l.kind, lam1, pen.weights, v, t, j,
+                    n // pen.ngroups if pen.kind == "group_l2" else 1)
                 keep_j = lax.dynamic_slice_in_dim(s.keep_mask, c0, B)
                 xn = jnp.where(keep_j, xn, 0.0)
                 r_loc = r_loc + Aj @ (xn - xj)

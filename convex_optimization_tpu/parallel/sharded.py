@@ -431,12 +431,14 @@ def _solve_grid_sharded(problem: Problem, method: str,
     from convex_optimization_tpu.api import Result
     from convex_optimization_tpu.solvers.fista import init_state
     from convex_optimization_tpu.parallel.grid_sharded import (
+        grid_sharded_bcd,
         grid_sharded_fista,
         _state_specs_grid,
     )
 
-    if method not in ("fista", "ista"):
-        raise ValueError(f"grid sharding supports fista/ista, got {method!r}")
+    if method not in ("fista", "ista", "bcd", "bcd_pallas"):
+        raise ValueError(
+            f"grid sharding supports fista/ista/bcd, got {method!r}")
     R, C = mesh.shape[ROWS], mesh.shape[BLOCKS]
     if problem.m % R != 0 or problem.n % C != 0:
         raise ValueError(
@@ -458,9 +460,27 @@ def _solve_grid_sharded(problem: Problem, method: str,
                          is_leaf=lambda v: isinstance(v, P)),
         )
 
-    L_total = spectral_norm_sq(problem.A) + problem.lam2
-    jfn, args = grid_sharded_fista(problem, L_total, make_state(x0), cfg,
-                                   mesh)
+    if method in ("bcd", "bcd_pallas"):
+        # grid GS sweep is plain-XLA (per-block ROWS psums preclude the
+        # fused single-chip kernel); bcd_pallas accepted, same program
+        from convex_optimization_tpu.ops.power_iter import (
+            block_spectral_norms_sq,
+        )
+        from convex_optimization_tpu.solvers.bcd import pick_block_size
+
+        gsz = (problem.n // problem.penalty.ngroups
+               if problem.penalty.kind == "group_l2" else 1)
+        # bs divides n/C (so n_blocks tiles over the C column shards) and
+        # contains whole groups
+        bs = pick_block_size(problem.n // C, cfg.block_size,
+                             multiple_of=gsz)
+        block_L = block_spectral_norms_sq(problem.A, problem.n // bs)
+        jfn, args = grid_sharded_bcd(problem, block_L, make_state(x0), cfg,
+                                     mesh)
+    else:
+        L_total = spectral_norm_sq(problem.A) + problem.lam2
+        jfn, args = grid_sharded_fista(problem, L_total, make_state(x0), cfg,
+                                       mesh)
     final, wall, compile_s = _timed_run(jfn, args, make_state, x0)
     iters = int(final.k)
     return Result(

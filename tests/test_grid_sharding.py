@@ -48,3 +48,21 @@ def test_grid_rejects_indivisible(grid24):
     inst = make_lasso_instance(jax.random.PRNGKey(46), 101, 256)  # m%2!=0
     with pytest.raises(ValueError, match="divide"):
         solve(inst.problem, "fista", mesh=grid24)
+
+
+@pytest.mark.parametrize("kind,ngroups", [("l1", 0), ("group_l2", 16)])
+def test_grid_sharded_bcd_matches_unsharded(grid24, kind, ngroups):
+    """Grid-sharded BCD (round 3: GS within a chip's slab + Jacobi merged
+    across column shards, per-block ROWS psums) reaches the same solution
+    as the single-device solver."""
+    inst = make_lasso_instance(jax.random.PRNGKey(43), 64, 256,
+                               penalty_kind=kind, ngroups=ngroups)
+    ref = solve(inst.problem, "fista", tol=1e-5, max_iters=2000)
+    shr = solve(inst.problem, "bcd", mesh=grid24, tol=1e-5, max_iters=600,
+                gap_every=5, block_size=32, stall_checks=10)
+    assert shr.method == "grid_sharded_bcd"
+    assert shr.converged, shr.rel_gap
+    # two INDEPENDENT tol=1e-5 solves agree within the gap-implied ball
+    # (group solutions carry ~1e-3 coordinate slack at this gap)
+    np.testing.assert_allclose(np.asarray(shr.x), np.asarray(ref.x),
+                               atol=5e-4 if kind == "l1" else 3e-3)
