@@ -241,6 +241,21 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     cfg0 = dataclasses.replace(cfg, max_iters=init_iters,
                                gap_every=min(cfg.gap_every, init_iters),
                                stall_checks=0, screen_every=0)
+    if inner == "bcd" and A_t_full is not None:
+        # GS burn-in: the fused sweep reads A ONCE per sweep (vs FISTA's 2
+        # passes/iteration) and converges faster per pass — the burn-in is
+        # the full-width cost of this solver, so burn with the cheaper unit
+        from convex_optimization_tpu.solvers.bcd import bcd
+
+        block_L_full = _block_power_j(A_t_full)
+        cfg0b = dataclasses.replace(cfg0, use_pallas=True)
+
+        def burn(st):
+            return bcd(problem, block_L_full, st, cfg0b, None, A_t_full)
+    else:
+        def burn(st):
+            return fista(problem, L_total, st, cfg0, None, A_t_full)
+
     if x0 is None:
         x = jnp.zeros((n,), problem.dtype)
         r_cur = -problem.b
@@ -254,7 +269,7 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     for _burn in range(10):
         st = (_init_j(problem, x, cfg0, r0=r_cur) if r_cur is not None
               else _init_j(problem, x, cfg0))
-        s = fista(problem, L_total, st, cfg0, None, A_t_full)
+        s = burn(st)
         x, r_cur = s.x, s.r
         total_inner += int(s.k)
         idx_np, info, r_full = screen(x)
