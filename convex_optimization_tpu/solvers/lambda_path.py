@@ -130,6 +130,26 @@ def lambda_path(
                           gaps=jnp.stack(gaps), iters=jnp.stack(iters),
                           kept=jnp.asarray(kept))
 
+    if not compact and method == "admm":
+        # the eigenbasis factorization is lam-independent (solvers/admm.py
+        # docstring): ONE setup + one compiled program serve the whole
+        # path; lam1 is data and every rho rescale is free in the
+        # eigenbasis.  Honors the api.solve scale fence semantics via the
+        # caller (this path is single-device, small-side eigh).
+        from convex_optimization_tpu.solvers import admm as admm_mod
+
+        fac = admm_mod.admm_setup(problem)
+        for lam in lambdas:
+            p = problem.with_lam1(lam)
+            state = admm_mod.init_state(problem, x_warm, cfg)
+            state = admm_mod.admm(p, fac, state, cfg)
+            x_warm = state.x_best
+            xs.append(state.x_best)
+            gaps.append(state.best_rel_gap)
+            iters.append(state.k)
+        return PathResult(lambdas=lambdas, xs=jnp.stack(xs),
+                          gaps=jnp.stack(gaps), iters=jnp.stack(iters))
+
     if not compact and method in ("bcd", "bcd_pallas"):
         import dataclasses as _dc
 

@@ -138,3 +138,23 @@ def test_admm_host_setup_skips_fence():
         res = solve(inst.problem, "admm", tol=1e-3, max_iters=400,
                     stall_checks=10, admm_setup="host")
     assert res.method == "admm"
+
+
+def test_admm_lambda_path_matches_fista_path():
+    """ADMM lambda path (round 3): one eigenbasis factorization serves the
+    whole warm-started path (the factors are lam-independent); solutions
+    match the FISTA path."""
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(51), 96, 384)
+    cfg = SolverConfig(tol=1e-6, max_iters=3000, gap_every=5,
+                       stall_checks=10)
+    ref = lambda_path(inst.problem, cfg, path_len=5)
+    adm = lambda_path(inst.problem, cfg, path_len=5, method="admm")
+    for i in range(5):
+        # two independently certified solves: agreement within the
+        # gap-implied ball (same slack as test_admm_converges_and_matches)
+        np.testing.assert_allclose(np.asarray(adm.xs[i]),
+                                   np.asarray(ref.xs[i]), atol=2.5e-3)
