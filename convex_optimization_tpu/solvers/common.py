@@ -65,7 +65,12 @@ class History(NamedTuple):
 
     @staticmethod
     def empty(max_checks: int, dtype=jnp.float32) -> "History":
-        f = jnp.full((max_checks,), jnp.nan, dtype=dtype)
+        # inf, NOT nan: unfilled slots are never read (trimmed() cuts by
+        # count), but the fill value still travels through multi-process
+        # device_put, whose cross-process equality check treats NaN != NaN
+        # and aborts the whole multi-host solve (found by
+        # tests/test_multihost.py's 2-process simulation)
+        f = jnp.full((max_checks,), jnp.inf, dtype=dtype)
         return History(
             iteration=jnp.zeros((max_checks,), jnp.int32),
             primal=f, dual=f, gap=f, rel_gap=f,
