@@ -346,53 +346,76 @@ def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
         block_spectral_norms_sq,
         spectral_norm_sq,
     )
-    from convex_optimization_tpu.parallel.mesh import BLOCKS
+    from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
     from convex_optimization_tpu.parallel.sharded import (
         _state_specs,
         sharded_bcd,
         sharded_fista,
     )
+    from convex_optimization_tpu.solvers.bcd import pick_block_size
 
     if lambdas is None:
         lmax = lambda_max(problem.A, problem.b, problem.penalty)
         lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
     lambdas = jnp.asarray(lambdas)
 
-    n_shards = mesh.shape[BLOCKS]
-    if problem.n % n_shards != 0:
-        raise ValueError(f"n={problem.n} must divide over {n_shards} shards")
+    rows_mesh = ROWS in mesh.axis_names and BLOCKS not in mesh.axis_names
+    is_bcd = method in ("bcd", "bcd_pallas")
+    if is_bcd:
+        cfg = dataclasses.replace(cfg, use_pallas=(method == "bcd_pallas"))
+    multiple = 1
+    if problem.penalty.kind == "group_l2":
+        multiple = problem.n // problem.penalty.ngroups
 
-    A = jax.device_put(problem.A, NamedSharding(mesh, P(None, BLOCKS)))
-    b = jax.device_put(problem.b, NamedSharding(mesh, P()))
+    if rows_mesh:
+        from convex_optimization_tpu.parallel.row_sharded import (
+            _state_specs_rows,
+            sharded_bcd_rows,
+            sharded_fista_rows,
+        )
+
+        n_shards = mesh.shape[ROWS]
+        if problem.m % n_shards != 0:
+            raise ValueError(
+                f"m={problem.m} must divide over {n_shards} shards")
+        A = jax.device_put(problem.A, NamedSharding(mesh, P(ROWS, None)))
+        b = jax.device_put(problem.b, NamedSharding(mesh, P(ROWS)))
+        sspecs = _state_specs_rows()
+    else:
+        n_shards = mesh.shape[BLOCKS]
+        if problem.n % n_shards != 0:
+            raise ValueError(
+                f"n={problem.n} must divide over {n_shards} shards")
+        A = jax.device_put(problem.A, NamedSharding(mesh, P(None, BLOCKS)))
+        b = jax.device_put(problem.b, NamedSharding(mesh, P()))
+        sspecs = _state_specs()
     problem = dataclasses.replace(problem, A=A, b=b)
 
     def make_state(xinit):
         s = init_state(problem, xinit, cfg)
         return jax.device_put(
             s,
-            jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs(),
+            jax.tree.map(lambda sp: NamedSharding(mesh, sp), sspecs,
                          is_leaf=lambda v: isinstance(v, P)),
         )
 
     state = make_state(None)
-    if method in ("bcd", "bcd_pallas"):
-        from convex_optimization_tpu.solvers.bcd import pick_block_size
-
-        cfg = dataclasses.replace(cfg, use_pallas=(method == "bcd_pallas"))
-        multiple = 1
-        if problem.penalty.kind == "group_l2":
-            multiple = problem.n // problem.penalty.ngroups
-        bs = pick_block_size(problem.n // n_shards, cfg.block_size,
-                             multiple_of=multiple)
+    if is_bcd:
+        bs = pick_block_size(
+            problem.n if rows_mesh else problem.n // n_shards,
+            cfg.block_size, multiple_of=multiple)
         block_L = block_spectral_norms_sq(problem.A, problem.n // bs)
-        jfn, args = sharded_bcd(problem, block_L, state, cfg, mesh)
+        builder = sharded_bcd_rows if rows_mesh else sharded_bcd
+        jfn, args = builder(problem, block_L, state, cfg, mesh)
     else:
         L_total = spectral_norm_sq(problem.A) + problem.lam2
-        jfn, args = sharded_fista(problem, L_total, state, cfg, mesh)
-    # args = (A, b, lam1, weights, L-like, col_norms, state): swap per point
+        builder = sharded_fista_rows if rows_mesh else sharded_fista
+        jfn, args = builder(problem, L_total, state, cfg, mesh)
+    # args = (A, b, lam1, ..., state): lam1 is data at index 2 in every
+    # builder's layout — swap it (and the warm state) per path point
     xs, gaps, iters = [], [], []
     for lam in lambdas:
-        out = jfn(*args[:2], lam, *args[3:6], state)
+        out = jfn(*args[:2], lam, *args[3:-1], state)
         state = make_state(out.x_best)      # warm start, reset counters
         xs.append(out.x_best)               # gap below describes THIS point
         gaps.append(out.best_rel_gap)

@@ -73,3 +73,24 @@ def test_row_sharded_bcd_matches_unsharded(rmesh8, kind, ngroups):
     assert shr.converged == ref.converged
     np.testing.assert_allclose(np.asarray(shr.x), np.asarray(ref.x),
                                atol=1e-4)
+
+
+def test_row_sharded_lambda_path(rmesh8):
+    """Warm-started lambda path on the ROWS mesh (round 3: previously a
+    latent crash — the CLI allows --mesh-axis rows with --lambda-path):
+    matches the single-device path for both solvers."""
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(jax.random.PRNGKey(23), 96, 128)
+    cfg = SolverConfig(tol=1e-5, max_iters=2000, gap_every=10,
+                       block_size=16, stall_checks=10)
+    plain = lambda_path(inst.problem, cfg, path_len=4)
+    shard = lambda_path(inst.problem, cfg, path_len=4, mesh=rmesh8)
+    np.testing.assert_allclose(np.asarray(shard.xs), np.asarray(plain.xs),
+                               atol=2e-4)
+    bcd = lambda_path(inst.problem, cfg, path_len=4, mesh=rmesh8,
+                      method="bcd")
+    # independently certified solves agree within the gap-implied ball
+    np.testing.assert_allclose(np.asarray(bcd.xs), np.asarray(plain.xs),
+                               atol=3e-3)
