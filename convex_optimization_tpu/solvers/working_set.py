@@ -21,8 +21,9 @@ Round structure:
 
 The final reported gap is always computed full-width, so correctness never
 depends on the screen being tight — a loose screen only costs an extra
-round.  l1 / nonneg_l1 only (group gathers need group alignment; the plain
-solvers cover group lasso).
+round.  All separable penalties plus group lasso (round 3): group working
+sets are WHOLE groups — the screen, buckets, and A_t gathers stay
+group-aligned and the compacted penalty carries the kept groups' weights.
 
 KERNEL ROUTING (round 3, VERDICT r2 #4).  Round 2's deployment caveat was
 compile cost: every outer-loop program contained a full-size XLA dot, and
@@ -90,7 +91,8 @@ def _kernel_route(problem: Problem, force_kernels: bool):
     """(A_t_full, B_full) when the transposed-VPU kernel family can serve
     this problem's full-width programs, else (None, 0).  Mirrors the
     api.solve fista-branch gate: TPU backend (or forced, for CPU interpret-
-    mode tests), f32, pad-free block size, HBM room for the A_t copy."""
+    mode tests), f32, pad-free (group-aligned) block size, HBM room for
+    the A_t copy."""
     from convex_optimization_tpu.ops.bcd_sweep_vpu import (
         pick_padded_block_size_vpu,
         to_tblock_major,
@@ -98,7 +100,10 @@ def _kernel_route(problem: Problem, force_kernels: bool):
 
     if not (force_kernels or jax.default_backend() == "tpu"):
         return None, 0
+    multiple = (problem.n // problem.penalty.ngroups
+                if problem.penalty.kind == "group_l2" else 1)
     picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
+                                        multiple_of=multiple,
                                         dtype=problem.dtype)
     if picked is None or picked[1] != 0:
         return None, 0
@@ -189,15 +194,25 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     lam-independent, so the path computes them once and every point reuses
     them along with all compiled bucket programs).
     """
-    if problem.penalty.kind not in ("l1", "nonneg_l1"):
-        raise ValueError("working-set solver supports l1 / nonneg_l1")
     n, m = problem.n, problem.m
+    # group lasso (round 3): working sets are WHOLE groups — screens,
+    # buckets, and gathers all stay group-aligned, and the compacted
+    # penalty carries the kept groups' weights
+    gsize = (n // problem.penalty.ngroups
+             if problem.penalty.kind == "group_l2" else 1)
     # adaptive bucket: 2048 is right at the 100k north star but rounds a
     # 55-column working set up to ALL of a n=2000 problem (the full-width
     # fallback then burns max_iters — measured on the config1 CI path).
     # Multiples of 128 keep every bucket VPU-block-eligible.
     bucket = min(bucket, max(128, (n // 8) // 128 * 128))
     t0 = time.perf_counter()
+
+    def _group_align(idx):
+        """Expand a column index set to whole groups (sorted)."""
+        if gsize == 1 or len(idx) == 0:
+            return idx
+        g = np.unique(idx // gsize)
+        return (g[:, None] * gsize + np.arange(gsize)).ravel()
 
     if route is not None:
         A_t_full, L_total = route
@@ -211,26 +226,37 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
 
         def screen(x):
             keep, info, r = _screen_kernel_j(problem, x, A_t_full)
-            return (np.nonzero(np.asarray(jax.device_get(keep)))[0],
-                    info, r)
+            idx = np.nonzero(np.asarray(jax.device_get(keep)))[0]
+            return _group_align(idx), info, r
     else:
         def screen(x):
             keep, info, r = _screen_xla_j(problem, x)
-            return (np.nonzero(np.asarray(jax.device_get(keep)))[0],
-                    info, r)
+            idx = np.nonzero(np.asarray(jax.device_get(keep)))[0]
+            return _group_align(idx), info, r
 
     def _compact_block(k_b: int) -> int:
-        """Largest VPU-eligible block size for a k_b-column compact slab
-        (0 if none: that bucket runs the XLA fallback path)."""
+        """Largest VPU-eligible (group-aligned) block size for a
+        k_b-column compact slab (0 if none: XLA fallback for that
+        bucket)."""
         from convex_optimization_tpu.ops.bcd_sweep_vpu import (
             pick_padded_block_size_vpu,
         )
 
-        picked = pick_padded_block_size_vpu(m, k_b, 128,
+        picked = pick_padded_block_size_vpu(m, k_b, 128, multiple_of=gsize,
                                             dtype=problem.dtype)
         if picked is None or picked[1] != 0:
             return 0
         return picked[0]
+
+    def _compact_penalty(idx):
+        """Penalty for the compacted problem (kept groups' weights)."""
+        if gsize == 1:
+            return problem.penalty
+        gsel = idx[::gsize] // gsize
+        w = problem.penalty.weights
+        return dataclasses.replace(
+            problem.penalty, ngroups=len(idx) // gsize,
+            weights=None if w is None else w[jnp.asarray(gsel)])
 
     # phase 0: ADAPTIVE full-width burn-in — the screen only bites once the
     # gap is moderate, so take full-width batches (ONE static config =
@@ -285,6 +311,8 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             break      # converged, or stalled at the f32 floor
         prev_gap = g
         k_b = _bucket(len(idx_np), n, bucket)
+        if gsize > 1:
+            k_b = min(n, -(-k_b // gsize) * gsize)    # whole groups
         if k_b >= n:
             # working set is everything: fall back to the plain solve
             # (with stall detection: the full-width f32 floor can sit just
@@ -299,7 +327,16 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             _, info, r_full = screen(x)
             break
         if k_b > len(idx_np):
-            extra = np.setdiff1d(np.arange(n), idx_np)[:k_b - len(idx_np)]
+            if gsize > 1:
+                kept_g = np.unique(idx_np // gsize) if len(idx_np) else \
+                    np.empty((0,), np.int64)
+                extra_g = np.setdiff1d(np.arange(n // gsize), kept_g)[
+                    :(k_b - len(idx_np)) // gsize]
+                extra = (extra_g[:, None] * gsize
+                         + np.arange(gsize)).ravel()
+            else:
+                extra = np.setdiff1d(np.arange(n),
+                                     idx_np)[:k_b - len(idx_np)]
             idx_np = np.sort(np.concatenate([idx_np, extra]))
         idx = jnp.asarray(idx_np)
         # compact solves always get stall detection: they bottom out at the
@@ -317,7 +354,8 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             # NaN placeholder: no kernel-routed compact program may trace
             # problem.A (see module docstring) — XLA DCEs the unused input
             p_ws = dataclasses.replace(
-                problem, A=jnp.full((m, k_b), jnp.nan, problem.dtype))
+                problem, A=jnp.full((m, k_b), jnp.nan, problem.dtype),
+                penalty=_compact_penalty(idx_np))
             # r_full from the screen equals A[:,W] x_W - b exactly (x is 0
             # off W), so the warm init needs no residual matvec
             st0 = _init_j(p_ws, _gather_vec(x, idx), cfg_ws, r0=r_full)
@@ -332,7 +370,8 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
         else:
             # XLA fallback (non-TPU backends / f64 / no eligible block)
             p_ws = dataclasses.replace(problem,
-                                       A=_gather_cols(problem.A, idx))
+                                       A=_gather_cols(problem.A, idx),
+                                       penalty=_compact_penalty(idx_np))
             s_ws = fista(p_ws, L_total,
                          _init_j(p_ws, _gather_vec(x, idx), cfg_ws),
                          cfg_ws, None)

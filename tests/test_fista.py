@@ -246,3 +246,30 @@ def test_lambda_path_compact_group():
                                    np.asarray(ref.xs[i]), atol=5e-4)
     # compaction must actually bite at the sparse end of the path
     assert int(comp.kept[0]) < 384
+
+
+def test_working_set_group_lasso():
+    """Group working set (round 3): whole-group screens/gathers, compacted
+    penalty carries kept weights; matches the plain group solve.  Runs both
+    the XLA fallback (default on CPU) and the forced-kernel route."""
+    from convex_optimization_tpu.api import solve
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+    from convex_optimization_tpu.core.objective import duality_gap
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.working_set import solve_working_set
+
+    inst = make_lasso_instance(jax.random.PRNGKey(67), 120, 960,
+                               penalty_kind="group_l2", ngroups=120)
+    ref = solve(inst.problem, "fista", tol=1e-5, max_iters=5000)
+    ws = solve(inst.problem, "fista_ws", tol=1e-5, max_iters=5000)
+    assert ws.converged, ws.rel_gap
+    np.testing.assert_allclose(np.asarray(ws.x), np.asarray(ref.x),
+                               atol=1e-3)
+    cfg = SolverConfig(tol=1e-5, max_iters=5000)
+    x, info, meta = solve_working_set(inst.problem, cfg, bucket=128,
+                                      inner="bcd", force_kernels=True)
+    assert meta["kernel_routed"], meta
+    assert meta["ws_size"] % (960 // 120) == 0      # whole groups
+    chk = duality_gap(inst.problem, x)
+    assert float(chk.rel_gap) <= 1.5e-5, float(chk.rel_gap)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), atol=1e-3)
