@@ -67,16 +67,20 @@ def _gap_check_grid(pen, lam2, A_loc, b_loc, s: SolveState, cn_loc,
     dn = lax.pmax(pen.dual_norm(z_loc), BLOCKS)
     x_sq = lax.psum(jnp.vdot(x_loc, x_loc), BLOCKS)
     g_val = lax.psum(pen.value(x_loc), BLOCKS)
+    r_sq = lax.psum(jnp.vdot(r_loc, r_loc), ROWS)
     info = gap_from_parts(
         rho_dot_b=-lax.psum(jnp.vdot(r_loc, b_loc), ROWS),
-        rho_aug_sq=lax.psum(jnp.vdot(r_loc, r_loc), ROWS) + lam2 * x_sq,
+        rho_aug_sq=r_sq + lam2 * x_sq,
         g_value=g_val,
         dual_norm_value=dn,
     )
     nnz = lax.psum(jnp.sum(x_loc != 0), BLOCKS).astype(jnp.int32)
     keep = s.keep_mask
     if screen:
-        keep = keep & pen.screen_keep(z_loc, info.alpha, info.gap, cn_loc)
+        # r_norm/primal: f32-rounding safety margins (see _gap_check_rows)
+        keep = keep & pen.screen_keep(z_loc, info.alpha, info.gap, cn_loc,
+                                      r_norm=jnp.sqrt(r_sq),
+                                      primal=info.primal)
     return record_check(s, info, x_loc, nnz, keep)
 
 

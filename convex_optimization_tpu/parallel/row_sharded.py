@@ -50,17 +50,22 @@ def _gap_check_rows(pen, lam2, A_loc, b_loc, s: SolveState, col_norms,
                     screen: bool) -> SolveState:
     x, r_loc = s.x, s.r
     z = -lax.psum(A_loc.T @ r_loc, ROWS) - lam2 * x
+    r_sq = lax.psum(jnp.vdot(r_loc, r_loc), ROWS)
     info = gap_from_parts(
         rho_dot_b=-lax.psum(jnp.vdot(r_loc, b_loc), ROWS),
-        rho_aug_sq=lax.psum(jnp.vdot(r_loc, r_loc), ROWS)
-        + lam2 * jnp.vdot(x, x),
+        rho_aug_sq=r_sq + lam2 * jnp.vdot(x, x),
         g_value=pen.value(x),
         dual_norm_value=pen.dual_norm(z),
     )
     nnz = jnp.sum(x != 0).astype(jnp.int32)
     keep = s.keep_mask
     if screen:
-        keep = keep & pen.screen_keep(z, info.alpha, info.gap, col_norms)
+        # r_norm/primal: the f32-rounding safety margins — without them an
+        # active coordinate on the safe-sphere boundary is discarded by
+        # reduction noise (screen_keep docstring; matches every other call)
+        keep = keep & pen.screen_keep(z, info.alpha, info.gap, col_norms,
+                                      r_norm=jnp.sqrt(r_sq),
+                                      primal=info.primal)
     return record_check(s, info, x, nnz, keep)
 
 

@@ -516,12 +516,7 @@ def _solve_row_sharded(problem: Problem, method: str,
     A = jax.device_put(problem.A, NamedSharding(mesh, P(ROWS, None)))
     b = jax.device_put(problem.b, NamedSharding(mesh, P(ROWS)))
     problem = dataclasses.replace(problem, A=A, b=b)
-    state0 = init_state(problem, x0, cfg)
-    state0 = jax.device_put(
-        state0,
-        jax.tree.map(lambda sp: NamedSharding(mesh, sp), _state_specs_rows(),
-                     is_leaf=lambda v: isinstance(v, P)),
-    )
+
     def make_state(xinit):
         s = init_state(problem, xinit, cfg)
         return jax.device_put(

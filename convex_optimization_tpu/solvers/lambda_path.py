@@ -65,6 +65,7 @@ def lambda_path(
     compact: bool = False,
     mesh: jax.sharding.Mesh | None = None,
     method: str = "fista",
+    admm_setup: str = "device",
 ) -> PathResult:
     """Warm-started path with one compiled solver program.
 
@@ -134,16 +135,46 @@ def lambda_path(
         # the eigenbasis factorization is lam-independent (solvers/admm.py
         # docstring): ONE setup + one compiled program serve the whole
         # path; lam1 is data and every rho rescale is free in the
-        # eigenbasis.  Honors the api.solve scale fence semantics via the
-        # caller (this path is single-device, small-side eigh).
+        # eigenbasis.
         from convex_optimization_tpu.solvers import admm as admm_mod
 
-        fac = admm_mod.admm_setup(problem)
+        # same scale fence as api.solve: the f32 device eigh of a >4096-dim
+        # Gram stalls ~1e-2 rel gap (BASELINE.md); route to the host-f64
+        # setup via admm_setup='host', or fall back to the FISTA path
+        from convex_optimization_tpu.api import ADMM_FENCE_DIM
+
+        if min(problem.m, problem.n) > ADMM_FENCE_DIM:
+            if admm_setup == "host":
+                fac = admm_mod.admm_setup_host(problem)
+            else:
+                import warnings
+
+                warnings.warn(
+                    "lambda_path(method='admm') at min(m, n) > 4096: f32 "
+                    "eigh stalls ~1e-2 rel gap (BASELINE.md) — falling "
+                    "back to the FISTA path.  Pass admm_setup='host' for "
+                    "the host-f64 setup.", stacklevel=2)
+                return lambda_path(problem, cfg, path_len=path_len,
+                                   lam_min_frac=lam_min_frac,
+                                   lambdas=lambdas)
+        else:
+            fac = (admm_mod.admm_setup_host(problem)
+                   if admm_setup == "host"
+                   else admm_mod.admm_setup(problem))
+        rho_warm = None
         for lam in lambdas:
             p = problem.with_lam1(lam)
-            state = admm_mod.init_state(problem, x_warm, cfg)
+            # warm-start BOTH x and rho: rho0 defaults to the point's own
+            # lam1 scale for the first point (admm.init_state — 'keeps the
+            # first prox threshold lam1/rho ~ 1'), and later points inherit
+            # the previous point's balanced rho — restarting rho cold at a
+            # new lam triggers a rebalancing transient during which the gap
+            # plateaus and stall detection aborts the point (measured: the
+            # deepest path point exited at 5e-2 rel gap after 50 iters)
+            state = admm_mod.init_state(p, x_warm, cfg, rho0=rho_warm)
             state = admm_mod.admm(p, fac, state, cfg)
             x_warm = state.x_best
+            rho_warm = state.rho
             xs.append(state.x_best)
             gaps.append(state.best_rel_gap)
             iters.append(state.k)
@@ -179,7 +210,8 @@ def lambda_path(
             # Gauss-Seidel convergence badly (a near-square block's
             # 1/L_j step degenerates toward ISTA — measured at 200x1000)
             picked = pick_padded_block_size_vpu(
-                problem.m, problem.n, min(cfg.block_size, 128), multiple)
+                problem.m, problem.n, min(cfg.block_size, 128), multiple,
+                dtype=problem.dtype)
             if picked is not None and picked[1] == 0:
                 bs = picked[0]
         if bs is None:

@@ -163,15 +163,17 @@ def _screen_xla_j(problem, x):
     return keep, info, r
 
 
-def make_ws_route(problem: Problem, force_kernels: bool = False):
+def make_ws_route(problem: Problem, force_kernels: bool = False) -> dict:
     """Precompute the lam-independent pieces of the working-set solver —
     the transposed layout (or None off the kernel route) and the spectral
     norm — for reuse across solve_working_set calls on the same A (lambda
-    paths pass this as ``route=``)."""
+    paths pass this as ``route=``).  The full-width block-Lipschitz vector
+    (bcd burn-ins) is filled in lazily on first use and cached in the same
+    dict — also lam-independent, and a full pass over A per computation."""
     A_t_full, _ = _kernel_route(problem, force_kernels)
     L_total = (_spec_t_j(A_t_full) if A_t_full is not None
                else spectral_norm_sq(problem.A)) + problem.lam2
-    return A_t_full, L_total
+    return {"A_t": A_t_full, "L_total": L_total, "block_L": None}
 
 
 def solve_working_set(problem: Problem, cfg: SolverConfig, *,
@@ -189,10 +191,10 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
     one per-bucket block-Lipschitz program).  'bcd' requires the kernel
     route; buckets fall back to 'fista' where its block gate fails.
 
-    ``route``: a (A_t_full_or_None, L_total) pair from a previous call on
-    the SAME A (lambda paths: the relayout and the spectral norm are
-    lam-independent, so the path computes them once and every point reuses
-    them along with all compiled bucket programs).
+    ``route``: a make_ws_route dict from a previous call on the SAME A
+    (lambda paths: the relayout, spectral norm, and block-Lipschitz vector
+    are lam-independent, so the path computes them once and every point
+    reuses them along with all compiled bucket programs).
     """
     n, m = problem.n, problem.m
     # group lasso (round 3): working sets are WHOLE groups — screens,
@@ -214,12 +216,9 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
         g = np.unique(idx // gsize)
         return (g[:, None] * gsize + np.arange(gsize)).ravel()
 
-    if route is not None:
-        A_t_full, L_total = route
-    else:
-        A_t_full, _B_full = _kernel_route(problem, force_kernels)
-        L_total = (_spec_t_j(A_t_full) if A_t_full is not None
-                   else spectral_norm_sq(problem.A)) + problem.lam2
+    if route is None:
+        route = make_ws_route(problem, force_kernels)
+    A_t_full, L_total = route["A_t"], route["L_total"]
 
     if A_t_full is not None:
         A_t_view = A_t_full.reshape(n, m)
@@ -273,7 +272,9 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
         # the full-width cost of this solver, so burn with the cheaper unit
         from convex_optimization_tpu.solvers.bcd import bcd
 
-        block_L_full = _block_power_j(A_t_full)
+        if route["block_L"] is None:
+            route["block_L"] = _block_power_j(A_t_full)
+        block_L_full = route["block_L"]
         cfg0b = dataclasses.replace(cfg0, use_pallas=True)
 
         def burn(st):
@@ -324,7 +325,9 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             s = fista(problem, L_total, st, cfgf, None, A_t_full)
             x = s.x_best
             total_inner += int(s.k)
-            _, info, r_full = screen(x)
+            # refresh idx_np too: meta['ws_size'] must describe the FINAL
+            # state, not the pre-fallback working set
+            idx_np, info, r_full = screen(x)
             break
         if k_b > len(idx_np):
             if gsize > 1:

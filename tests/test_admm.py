@@ -84,15 +84,19 @@ def test_admm_robust_on_ill_conditioned():
                                atol=5e-3)
 
 
-def test_admm_scale_fence_falls_back_with_warning():
-    """Above the documented f32-eigh accuracy fence (min(m,n) > 4096),
-    solve('admm') must warn and fall back to FISTA instead of silently
-    burning max_iters at a ~1e-2 stall (api.solve guard, BASELINE.md)."""
+def test_admm_scale_fence_falls_back_with_warning(monkeypatch):
+    """Above the documented f32-eigh accuracy fence, solve('admm') must
+    warn and fall back to FISTA instead of silently burning max_iters at a
+    ~1e-2 stall (api.solve guard, BASELINE.md).  The fence dimension is
+    monkeypatched down: exercising the real 4096 threshold costs a
+    multi-thousand-dim eigh on the 1-core CI host for no extra coverage."""
     import pytest as _pytest
 
+    from convex_optimization_tpu import api
     from convex_optimization_tpu.core.datagen import make_lasso_instance
 
-    inst = make_lasso_instance(jax.random.PRNGKey(9), 4104, 4160)
+    monkeypatch.setattr(api, "ADMM_FENCE_DIM", 64)
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 96, 384)
     with _pytest.warns(UserWarning, match="admm_force"):
         res = solve(inst.problem, "admm", tol=1e-4, max_iters=1500)
     assert res.method == "fista"
@@ -119,20 +123,17 @@ def test_admm_host_setup_beats_device_setup():
                                atol=5e-4)
 
 
-def test_admm_host_setup_skips_fence():
+def test_admm_host_setup_skips_fence(monkeypatch):
     """admm_setup='host' takes the host-f64 path above the fence instead of
-    the FISTA fallback (small n keeps the eigh cheap: m > 4096 but the
-    Woodbury side is n)."""
+    the FISTA fallback (fence dimension monkeypatched down — see the fence
+    test)."""
     import warnings
 
+    from convex_optimization_tpu import api
     from convex_optimization_tpu.core.datagen import make_lasso_instance
 
-    # min(m, n) governs the Gram side; use m slightly above the fence and
-    # tiny n so the host eigh is n x n and fast -- wait, min(4104, 64) = 64
-    # is BELOW the fence.  The fence triggers on min(m, n) > 4096, so this
-    # must use min > 4096: keep both just above with a rank-deficient quick
-    # solve at loose tol.
-    inst = make_lasso_instance(jax.random.PRNGKey(19), 4104, 4160)
+    monkeypatch.setattr(api, "ADMM_FENCE_DIM", 64)
+    inst = make_lasso_instance(jax.random.PRNGKey(19), 96, 384)
     with warnings.catch_warnings():
         warnings.simplefilter("error")        # no fence warning allowed
         res = solve(inst.problem, "admm", tol=1e-3, max_iters=400,
