@@ -503,6 +503,8 @@ def _cd64(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
     scratch, so a drop here can never affect soundness, only the sweep
     width).  l1 / nonneg_l1 only.
     """
+    from convex_optimization_tpu.utils import native as co_native
+
     m, width = As32.shape
     keep_idx = np.arange(width)
     # column norms: einsum with f64 accumulation, no matrix-sized temp
@@ -510,28 +512,38 @@ def _cd64(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
     col_norms = np.sqrt(col_sq)
     lam1 = pen_s.lam1
     nonneg = pen_s.kind == "nonneg_l1"
-    xs = xs.copy()
-    r = _residual_sparse32(As32, xs, b)
+    xs = np.ascontiguousarray(xs, np.float64)
+    r = np.ascontiguousarray(_residual_sparse32(As32, xs, b))
     ajbuf = np.empty(m, np.float64)
     sweeps = 0
     rel = gap = primal = np.inf
     while sweeps < max_sweeps:
-        for _ in range(gap_every):
-            for j in range(As32.shape[1]):
-                np.copyto(ajbuf, As32[:, j])      # one 4m-byte stream read
-                xj = xs[j]
-                g = float(ajbuf @ r) + lam2 * xj
-                v = xj - g / col_sq[j]
-                tl = lam1 / col_sq[j]
-                if nonneg:
-                    xn = v - tl if v > tl else 0.0
-                else:
-                    xn = (v - tl if v > tl
-                          else (v + tl if v < -tl else 0.0))
-                if xn != xj:
-                    r += ajbuf * (xn - xj)        # cache-hot axpy
-                    xs[j] = xn
-            sweeps += 1
+        # native path (round 3): one C call runs the whole gap_every batch
+        # with the GIL released — the NumPy loop pays 3 interpreter calls
+        # per column and is throttled ~10x by the axon client's background
+        # threads right after a relay program (CLAUDE.md); same f64 update
+        # arithmetic, and the gap certificate below is computed identically
+        # either way
+        if co_native.cd64_sweeps(As32, xs, r, col_sq, float(lam1),
+                                 float(lam2), nonneg, gap_every):
+            sweeps += gap_every
+        else:
+            for _ in range(gap_every):
+                for j in range(As32.shape[1]):
+                    np.copyto(ajbuf, As32[:, j])  # one 4m-byte stream read
+                    xj = xs[j]
+                    g = float(ajbuf @ r) + lam2 * xj
+                    v = xj - g / col_sq[j]
+                    tl = lam1 / col_sq[j]
+                    if nonneg:
+                        xn = v - tl if v > tl else 0.0
+                    else:
+                        xn = (v - tl if v > tl
+                              else (v + tl if v < -tl else 0.0))
+                    if xn != xj:
+                        r += ajbuf * (xn - xj)    # cache-hot axpy
+                        xs[j] = xn
+                sweeps += 1
         # exact residual refresh pins incremental f64 drift (negligible
         # per sweep, but cheap relative to the gap-check gemv below)
         r = _residual_sparse32(As32, xs, b)

@@ -58,6 +58,13 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,
             ]
             lib.co_read_matrix.restype = ctypes.c_int
+            lib.co_cd64_sweeps.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+                ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -101,6 +108,37 @@ def write_matrix(path: str, arr: np.ndarray) -> None:
     )
     if rc != 0:
         raise IOError(f"co_write_matrix({path}) failed with {rc}")
+
+
+def cd64_sweeps(As32: np.ndarray, xs: np.ndarray, r: np.ndarray,
+                col_sq: np.ndarray, lam1: float, lam2: float,
+                nonneg: bool, sweeps: int) -> bool:
+    """Run ``sweeps`` cyclic CD sweeps natively (GIL released), updating
+    ``xs`` and ``r`` in place.  Returns False (caller must run the NumPy
+    path) when the library is unavailable or the slab layout is wrong.
+
+    Requires: As32 f32 column-major (F-contiguous), xs/r/col_sq f64
+    contiguous — exactly how solvers/polish.py stores the compacted
+    support slab."""
+    lib = _load()
+    if (lib is None
+            or not As32.flags.f_contiguous or As32.dtype != np.float32
+            or xs.dtype != np.float64 or not xs.flags.c_contiguous
+            or r.dtype != np.float64 or not r.flags.c_contiguous
+            or col_sq.dtype != np.float64
+            or not col_sq.flags.c_contiguous):
+        return False
+    m, width = As32.shape
+    lib.co_cd64_sweeps(
+        As32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(m), ctypes.c_int64(width),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        col_sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(lam1), ctypes.c_double(lam2),
+        ctypes.c_int(1 if nonneg else 0), ctypes.c_int(sweeps),
+    )
+    return True
 
 
 def read_matrix(path: str) -> np.ndarray:

@@ -187,6 +187,63 @@ int co_read_matrix(const char* path, float* out, int64_t rows, int64_t cols) {
   return ok ? 0 : -2;
 }
 
-int co_version() { return 1; }
+// Cyclic coordinate-descent sweeps (lasso "shooting") on an f32
+// COLUMN-MAJOR slab with float64 iterates — the hot loop of the polish
+// phase's support solve (solvers/polish.py _cd64).
+//
+// Why native: the NumPy version makes three interpreter-dispatched calls
+// per column (cast-copy, dot, axpy); at the headline's |S|~7k support
+// that is ~21k GIL windows per sweep, and right after a big relay
+// program the axon client's background Python threads steal the core
+// between them (measured: the same effect throttled per-column gathers
+// to ~46 MB/s).  One C call runs gap_every full sweeps with the GIL
+// RELEASED, at streaming speed, with identical f64 update arithmetic.
+//
+//   As      (m x width) float32, column-major (column j at As + j*m)
+//   xs      (width,) float64 iterate, updated in place
+//   r       (m,) float64 residual A xs - b, updated in place
+//   col_sq  (width,) ||A_j||^2 + lam2 (f64)
+//   nonneg  0 = soft-threshold (l1), 1 = shift-and-clip (nonneg_l1)
+void co_cd64_sweeps(const float* As, int64_t m, int64_t width, double* xs,
+                    double* r, const double* col_sq, double lam1,
+                    double lam2, int nonneg, int sweeps) {
+  for (int s = 0; s < sweeps; ++s) {
+    for (int64_t j = 0; j < width; ++j) {
+      const float* aj = As + j * m;
+      const double xj = xs[j];
+      // 4-way accumulators: lets the compiler vectorize the f32->f64
+      // convert + fma reduction without -ffast-math reassociation
+      double g0 = 0.0, g1 = 0.0, g2 = 0.0, g3 = 0.0;
+      int64_t i = 0;
+      for (; i + 4 <= m; i += 4) {
+        g0 += static_cast<double>(aj[i]) * r[i];
+        g1 += static_cast<double>(aj[i + 1]) * r[i + 1];
+        g2 += static_cast<double>(aj[i + 2]) * r[i + 2];
+        g3 += static_cast<double>(aj[i + 3]) * r[i + 3];
+      }
+      double g = (g0 + g1) + (g2 + g3);
+      for (; i < m; ++i) g += static_cast<double>(aj[i]) * r[i];
+      g += lam2 * xj;
+      const double cs = col_sq[j];
+      const double v = xj - g / cs;
+      const double tl = lam1 / cs;
+      double xn;
+      if (nonneg) {
+        xn = v > tl ? v - tl : 0.0;
+      } else {
+        xn = v > tl ? v - tl : (v < -tl ? v + tl : 0.0);
+      }
+      const double d = xn - xj;
+      if (d != 0.0) {
+        for (int64_t k = 0; k < m; ++k) {
+          r[k] += static_cast<double>(aj[k]) * d;
+        }
+        xs[j] = xn;
+      }
+    }
+  }
+}
+
+int co_version() { return 2; }
 
 }  // extern "C"

@@ -223,3 +223,34 @@ def test_cd64_group_direct_with_compaction():
                                              x_full, z_chk)
     assert rel2 <= 1e-10, rel2
     np.testing.assert_allclose(r, r_chk, rtol=1e-12, atol=1e-14)
+
+
+def test_cd64_native_matches_python_path(monkeypatch):
+    """The native C sweep (round 3: GIL-released, immune to the relay
+    client's background-thread starvation) must produce the same certified
+    result as the pure-NumPy loop."""
+    import numpy as np
+
+    from convex_optimization_tpu.solvers.polish import _NpPenalty, _cd64
+    from convex_optimization_tpu.utils import native as co_native
+
+    rng = np.random.default_rng(7)
+    m, w = 200, 160
+    As = np.asfortranarray(rng.standard_normal((m, w)).astype(np.float32)
+                           / np.sqrt(m))
+    x_true = np.zeros(w)
+    x_true[rng.choice(w, 12, replace=False)] = rng.standard_normal(12)
+    b = As.astype(np.float64) @ x_true + 0.01 * rng.standard_normal(m)
+    pen = _NpPenalty("l1", 0.03, 0, None, w)
+
+    out_native = _cd64(As.copy(order="F"), b, 0.0, pen, np.zeros(w),
+                       tol=1e-10, max_sweeps=400)
+    # force the NumPy loop
+    monkeypatch.setattr(co_native, "cd64_sweeps",
+                        lambda *a, **k: False)
+    out_python = _cd64(As.copy(order="F"), b, 0.0, pen, np.zeros(w),
+                       tol=1e-10, max_sweeps=400)
+    assert out_native[3] <= 1e-10 and out_python[3] <= 1e-10
+    xn = np.zeros(w); xn[out_native[1]] = out_native[0]
+    xp = np.zeros(w); xp[out_python[1]] = out_python[0]
+    np.testing.assert_allclose(xn, xp, rtol=1e-9, atol=1e-12)
