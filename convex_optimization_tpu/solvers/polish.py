@@ -623,25 +623,39 @@ def _cd64_group(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
         u = Ag @ v
         L[g] = 1.02 * float(u.astype(np.float64) @ u) + lam2
 
+    from convex_optimization_tpu.utils import native as co_native
+
     gbuf = np.empty((m, gsize), np.float64, order="F")
+    w = np.ascontiguousarray(w, np.float64)
+    xs = np.ascontiguousarray(xs, np.float64)
+    r = np.ascontiguousarray(r)
     sweeps = 0
     rel = gap = primal = np.inf
     while sweeps < max_sweeps:
-        for _ in range(gap_every):
-            for g in range(ng):
-                sl = slice(g * gsize, (g + 1) * gsize)
-                np.copyto(gbuf, As32[:, sl])   # one stream read of the slab
-                xg = xs[sl]
-                grad = gbuf.T @ r + lam2 * xg
-                v = xg - grad / L[g]
-                nv = float(np.linalg.norm(v))
-                s = max(0.0, 1.0 - lam1 * w[g] / (L[g] * max(nv, 1e-300)))
-                xn = s * v
-                dx = xn - xg
-                if np.any(dx):
-                    r += gbuf @ dx             # cache-hot (gbuf just read)
-                    xs[sl] = xn
-            sweeps += 1
+        # native path (round 3): whole gap_every batch in one GIL-released
+        # C call (same rationale + identical update arithmetic as _cd64's)
+        if co_native.cd64_group_sweeps(As32, gsize, xs, r,
+                                       np.ascontiguousarray(L), w,
+                                       float(lam1), float(lam2),
+                                       gap_every):
+            sweeps += gap_every
+        else:
+            for _ in range(gap_every):
+                for g in range(ng):
+                    sl = slice(g * gsize, (g + 1) * gsize)
+                    np.copyto(gbuf, As32[:, sl])  # one stream slab read
+                    xg = xs[sl]
+                    grad = gbuf.T @ r + lam2 * xg
+                    v = xg - grad / L[g]
+                    nv = float(np.linalg.norm(v))
+                    s = max(0.0,
+                            1.0 - lam1 * w[g] / (L[g] * max(nv, 1e-300)))
+                    xn = s * v
+                    dx = xn - xg
+                    if np.any(dx):
+                        r += gbuf @ dx         # cache-hot (gbuf just read)
+                        xs[sl] = xn
+                sweeps += 1
         # exact refresh pins incremental drift; one mixed gemv for the gap
         r = _residual_sparse32(As32, xs, b)
         zs = _gemv_t_mixed(As32, r, lam2, xs)

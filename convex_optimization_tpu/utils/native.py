@@ -65,6 +65,16 @@ def _load():
                 ctypes.POINTER(ctypes.c_double), ctypes.c_double,
                 ctypes.c_double, ctypes.c_int, ctypes.c_int,
             ]
+            lib.co_cd64_group_sweeps.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+                ctypes.c_double, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -137,6 +147,37 @@ def cd64_sweeps(As32: np.ndarray, xs: np.ndarray, r: np.ndarray,
         col_sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_double(lam1), ctypes.c_double(lam2),
         ctypes.c_int(1 if nonneg else 0), ctypes.c_int(sweeps),
+    )
+    return True
+
+
+def cd64_group_sweeps(As32: np.ndarray, gsize: int, xs: np.ndarray,
+                      r: np.ndarray, L: np.ndarray, w: np.ndarray,
+                      lam1: float, lam2: float, sweeps: int) -> bool:
+    """Group analog of cd64_sweeps: ``sweeps`` Gauss-Seidel passes over
+    contiguous gsize-wide groups, natively (GIL released), updating ``xs``
+    and ``r`` in place.  Returns False when unavailable / wrong layout."""
+    lib = _load()
+    if (lib is None
+            or not As32.flags.f_contiguous or As32.dtype != np.float32
+            or xs.dtype != np.float64 or not xs.flags.c_contiguous
+            or r.dtype != np.float64 or not r.flags.c_contiguous
+            or L.dtype != np.float64 or not L.flags.c_contiguous
+            or w.dtype != np.float64 or not w.flags.c_contiguous
+            or As32.shape[1] % gsize != 0):
+        return False
+    m, width = As32.shape
+    scratch = np.empty(2 * gsize, np.float64)
+    lib.co_cd64_group_sweeps(
+        As32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(m), ctypes.c_int64(width), ctypes.c_int64(gsize),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        L.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(lam1), ctypes.c_double(lam2),
+        ctypes.c_int(sweeps),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return True
 

@@ -244,6 +244,66 @@ void co_cd64_sweeps(const float* As, int64_t m, int64_t width, double* xs,
   }
 }
 
-int co_version() { return 2; }
+// Group-lasso block coordinate-descent sweeps (the group analog of
+// co_cd64_sweeps; solvers/polish.py _cd64_group).  One prox-gradient step
+// per contiguous gsize-wide group per visit with Gauss-Seidel residual
+// updates; L = per-group Lipschitz (lam_max(Ag^T Ag) + lam2), w =
+// per-group weights.
+void co_cd64_group_sweeps(const float* As, int64_t m, int64_t width,
+                          int64_t gsize, double* xs, double* r,
+                          const double* L, const double* w, double lam1,
+                          double lam2, int sweeps, double* scratch) {
+  const int64_t ngroups = width / gsize;
+  double* grad = scratch;              // (gsize,)
+  double* xn = scratch + gsize;        // (gsize,)
+  for (int s = 0; s < sweeps; ++s) {
+    for (int64_t gidx = 0; gidx < ngroups; ++gidx) {
+      const float* Ag = As + gidx * gsize * m;
+      double* xg = xs + gidx * gsize;
+      // grad = Ag^T r + lam2 xg; v = xg - grad / L  (stored into xn)
+      double nv2 = 0.0;
+      for (int64_t c = 0; c < gsize; ++c) {
+        const float* ac = Ag + c * m;
+        double g0 = 0.0, g1 = 0.0, g2 = 0.0, g3 = 0.0;
+        int64_t i = 0;
+        for (; i + 4 <= m; i += 4) {
+          g0 += static_cast<double>(ac[i]) * r[i];
+          g1 += static_cast<double>(ac[i + 1]) * r[i + 1];
+          g2 += static_cast<double>(ac[i + 2]) * r[i + 2];
+          g3 += static_cast<double>(ac[i + 3]) * r[i + 3];
+        }
+        double g = (g0 + g1) + (g2 + g3);
+        for (; i < m; ++i) g += static_cast<double>(ac[i]) * r[i];
+        grad[c] = g + lam2 * xg[c];
+        const double v = xg[c] - grad[c] / L[gidx];
+        xn[c] = v;
+        nv2 += v * v;
+      }
+      const double nv = std::sqrt(nv2);
+      const double denom = nv > 1e-300 ? nv : 1e-300;
+      double scale = 1.0 - lam1 * w[gidx] / (L[gidx] * denom);
+      if (scale < 0.0) scale = 0.0;
+      bool any = false;
+      for (int64_t c = 0; c < gsize; ++c) {
+        xn[c] *= scale;
+        if (xn[c] != xg[c]) any = true;
+      }
+      if (any) {
+        for (int64_t c = 0; c < gsize; ++c) {
+          const double d = xn[c] - xg[c];
+          if (d != 0.0) {
+            const float* ac = Ag + c * m;
+            for (int64_t i = 0; i < m; ++i) {
+              r[i] += static_cast<double>(ac[i]) * d;
+            }
+          }
+          xg[c] = xn[c];
+        }
+      }
+    }
+  }
+}
+
+int co_version() { return 3; }
 
 }  // extern "C"

@@ -254,3 +254,34 @@ def test_cd64_native_matches_python_path(monkeypatch):
     xn = np.zeros(w); xn[out_native[1]] = out_native[0]
     xp = np.zeros(w); xp[out_python[1]] = out_python[0]
     np.testing.assert_allclose(xn, xp, rtol=1e-9, atol=1e-12)
+
+
+def test_cd64_group_native_matches_python_path(monkeypatch):
+    """Native group CD sweep == NumPy group CD sweep (same update
+    arithmetic, different reduction order only)."""
+    import numpy as np
+
+    from convex_optimization_tpu.solvers.polish import _NpPenalty, _cd64_group
+    from convex_optimization_tpu.utils import native as co_native
+
+    rng = np.random.default_rng(11)
+    m, ng, gsize = 128, 20, 8
+    width = ng * gsize
+    As = np.asfortranarray(rng.standard_normal((m, width)).astype(np.float32)
+                           / np.sqrt(m))
+    x_true = np.zeros(width)
+    for g in (3, 9):
+        x_true[g * gsize:(g + 1) * gsize] = rng.standard_normal(gsize)
+    b = As.astype(np.float64) @ x_true + 0.01 * rng.standard_normal(m)
+    pen = _NpPenalty("group_l2", 0.04, ng, None, width)
+
+    nat = _cd64_group(As.copy(order="F"), b, 0.0, pen, np.zeros(width),
+                      tol=1e-10, max_sweeps=400)
+    monkeypatch.setattr(co_native, "cd64_group_sweeps",
+                        lambda *a, **k: False)
+    py = _cd64_group(As.copy(order="F"), b, 0.0, pen, np.zeros(width),
+                     tol=1e-10, max_sweeps=400)
+    assert nat[3] <= 1e-10 and py[3] <= 1e-10
+    xn = np.zeros(width); xn[nat[1]] = nat[0]
+    xp = np.zeros(width); xp[py[1]] = py[0]
+    np.testing.assert_allclose(xn, xp, rtol=1e-9, atol=1e-12)
