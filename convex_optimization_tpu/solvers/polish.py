@@ -144,6 +144,15 @@ def _gather_cols(A, idx, dtype=np.float64):
     keeps each 4m-byte read and 8m-byte write contiguous and fuses the f64
     cast; the Python loop overhead is microseconds per column.
     """
+    # native path (round 3): one GIL-released C call for the whole index
+    # set — immune to the post-relay-program background-thread starvation
+    # that throttled per-column gathers to ~46 MB/s (round 1/2)
+    if isinstance(A, np.ndarray):
+        from convex_optimization_tpu.utils import native as co_native
+
+        out = co_native.gather_cols(A, np.asarray(idx), dtype)
+        if out is not None:
+            return out
     m = A.shape[0]
     # np.zeros, NOT np.empty: faulting fresh pages in during the strided
     # gather writes measured 20-30 MB/s on this host (THP/compaction

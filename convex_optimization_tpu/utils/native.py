@@ -75,6 +75,11 @@ def _load():
                 ctypes.c_double, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.co_gather_cols.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -180,6 +185,32 @@ def cd64_group_sweeps(As32: np.ndarray, gsize: int, xs: np.ndarray,
         scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return True
+
+
+def gather_cols(A: np.ndarray, idx: np.ndarray, dtype) -> np.ndarray | None:
+    """F-ordered column gather (+ optional f64 cast) from an f32
+    column-major matrix, one GIL-released call; None when the native
+    library is unavailable or the layout/dtype is unsupported."""
+    lib = _load()
+    dtype = np.dtype(dtype)
+    if (lib is None or A.dtype != np.float32 or not A.flags.f_contiguous
+            or dtype not in (np.float32, np.float64)):
+        return None
+    m = A.shape[0]
+    idx64 = np.ascontiguousarray(idx, np.int64)
+    # np.zeros, not empty: calloc-backed pages fault at full speed while
+    # fresh THP pages stall mid-gather (measured round 1 — see
+    # solvers/polish.py _gather_cols)
+    out = np.zeros((m, len(idx64)), dtype, order="F")
+    lib.co_gather_cols(
+        A.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(m),
+        idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(idx64)),
+        ctypes.c_int(1 if dtype == np.float64 else 0),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
 
 
 def read_matrix(path: str) -> np.ndarray:
