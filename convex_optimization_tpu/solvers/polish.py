@@ -456,7 +456,17 @@ def _fista64(As, b, lam2, pen_s, xs, tol, max_iters, gap_every,
 def _gemv_t_mixed(As32, r64, lam2=0.0, xs64=None, chunk=1024):
     """z = -(As^T r) - lam2 x in f64 from f32-stored As, chunked so the
     implicit f32->f64 upcast temp stays ~80 MB (NumPy would otherwise
-    materialize a full f64 copy of As per call)."""
+    materialize a full f64 copy of As per call).  Native GIL-released
+    path when the slab layout allows (utils/native.py)."""
+    from convex_optimization_tpu.utils import native as co_native
+
+    if (isinstance(As32, np.ndarray)
+            and As32.dtype == np.float32 and As32.flags.f_contiguous):
+        r64c = np.ascontiguousarray(r64)
+        xs_c = None if xs64 is None else np.ascontiguousarray(xs64)
+        z = co_native.atr_mixed(As32, r64c, float(lam2), xs_c)
+        if z is not None:
+            return z
     width = As32.shape[1]
     z = np.empty(width, np.float64)
     for c0 in range(0, width, chunk):
@@ -480,7 +490,16 @@ def _gemv_mixed(As32, x64, chunk=1024):
 
 def _residual_sparse32(As32, xs64, b64):
     """r = As xs - b in f64 via per-column axpys on the nonzeros of xs —
-    streams only the active f32 columns."""
+    streams only the active f32 columns.  Native GIL-released path when
+    the slab layout allows (utils/native.py)."""
+    from convex_optimization_tpu.utils import native as co_native
+
+    if (isinstance(As32, np.ndarray)
+            and As32.dtype == np.float32 and As32.flags.f_contiguous):
+        r = co_native.ax_sparse(As32, np.ascontiguousarray(xs64),
+                                np.ascontiguousarray(b64))
+        if r is not None:
+            return r
     r = -b64.copy()
     for j in np.nonzero(xs64)[0]:
         r += xs64[j] * As32[:, j].astype(np.float64)

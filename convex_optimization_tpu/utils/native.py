@@ -80,6 +80,18 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_int, ctypes.c_void_p,
             ]
+            lib.co_atr_mixed.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+                ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.co_ax_sparse.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -211,6 +223,50 @@ def gather_cols(A: np.ndarray, idx: np.ndarray, dtype) -> np.ndarray | None:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def _f32_slab_ok(lib, As32, *vecs) -> bool:
+    return (lib is not None and As32.dtype == np.float32
+            and As32.flags.f_contiguous
+            and all(v is None or (v.dtype == np.float64
+                                  and v.flags.c_contiguous) for v in vecs))
+
+
+def atr_mixed(As32: np.ndarray, r: np.ndarray, lam2: float,
+              xs: np.ndarray | None) -> np.ndarray | None:
+    """z = -(As^T r) - lam2*xs in f64, GIL-released; None → NumPy path."""
+    lib = _load()
+    if not _f32_slab_ok(lib, As32, r, xs):
+        return None
+    m, width = As32.shape
+    z = np.empty(width, np.float64)
+    xs_p = (xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            if xs is not None else None)
+    lib.co_atr_mixed(
+        As32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(m), ctypes.c_int64(width),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(lam2), xs_p,
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return z
+
+
+def ax_sparse(As32: np.ndarray, xs: np.ndarray,
+              b: np.ndarray) -> np.ndarray | None:
+    """r = As xs - b in f64 streaming only nonzero columns, GIL-released;
+    None → NumPy path."""
+    lib = _load()
+    if not _f32_slab_ok(lib, As32, xs, b):
+        return None
+    m, width = As32.shape
+    r = np.empty(m, np.float64)
+    lib.co_ax_sparse(
+        As32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(m), ctypes.c_int64(width),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return r
 
 
 def read_matrix(path: str) -> np.ndarray:

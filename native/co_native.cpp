@@ -327,6 +327,43 @@ void co_gather_cols(const float* A, int64_t m, const int64_t* idx,
   }
 }
 
-int co_version() { return 4; }
+// z = -(As^T r) - lam2 * xs in f64 from the f32 column-major slab (the
+// polish gap-check witness, solvers/polish.py _gemv_t_mixed).
+void co_atr_mixed(const float* As, int64_t m, int64_t width,
+                  const double* r, double lam2, const double* xs,
+                  double* z) {
+  for (int64_t j = 0; j < width; ++j) {
+    const float* aj = As + j * m;
+    double g0 = 0.0, g1 = 0.0, g2 = 0.0, g3 = 0.0;
+    int64_t i = 0;
+    for (; i + 4 <= m; i += 4) {
+      g0 += static_cast<double>(aj[i]) * r[i];
+      g1 += static_cast<double>(aj[i + 1]) * r[i + 1];
+      g2 += static_cast<double>(aj[i + 2]) * r[i + 2];
+      g3 += static_cast<double>(aj[i + 3]) * r[i + 3];
+    }
+    double g = (g0 + g1) + (g2 + g3);
+    for (; i < m; ++i) g += static_cast<double>(aj[i]) * r[i];
+    z[j] = -g - (xs ? lam2 * xs[j] : 0.0);
+  }
+}
+
+// r = As xs - b in f64 streaming only the nonzero columns (the polish
+// exact residual refresh, solvers/polish.py _residual_sparse32).
+void co_ax_sparse(const float* As, int64_t m, int64_t width,
+                  const double* xs, const double* b, double* r) {
+  for (int64_t i = 0; i < m; ++i) r[i] = -b[i];
+  for (int64_t j = 0; j < width; ++j) {
+    const double xj = xs[j];
+    if (xj != 0.0) {
+      const float* aj = As + j * m;
+      for (int64_t i = 0; i < m; ++i) {
+        r[i] += static_cast<double>(aj[i]) * xj;
+      }
+    }
+  }
+}
+
+int co_version() { return 5; }
 
 }  // extern "C"
