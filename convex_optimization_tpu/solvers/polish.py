@@ -638,20 +638,28 @@ def _cd64_group(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
     # per group (L only affects step sizes, never the certificate, so f32
     # accuracy + 2% inflation is enough; 8 iterations on a cache-resident
     # slab cost ~16 sgemv passes over 5 MB)
-    col_sq = np.einsum("ij,ij->j", As32, As32, dtype=np.float64)
-    rng = np.random.default_rng(0)
-    L = np.empty(ng)
-    for g in range(ng):
-        Ag = As32[:, g * gsize:(g + 1) * gsize]
-        v = rng.standard_normal(gsize).astype(np.float32)
-        v /= np.linalg.norm(v)
-        for _ in range(8):
-            u = Ag.T @ (Ag @ v)
-            v = u / max(np.linalg.norm(u), 1e-30)
-        u = Ag @ v
-        L[g] = 1.02 * float(u.astype(np.float64) @ u) + lam2
-
     from convex_optimization_tpu.utils import native as co_native
+
+    col_sq = np.einsum("ij,ij->j", As32, As32, dtype=np.float64)
+    # exact block Lipschitz via power iteration per group — GIL-released
+    # native path (one call for all groups) with a NumPy fallback.  Both
+    # use the deterministic ones+tilt start (orthogonality to the top
+    # singular vector has measure zero; the tilt breaks symmetry), so L
+    # does not depend on which path ran beyond f32-vs-f64 iteration
+    # rounding — and L only affects step sizes, never the certificate.
+    L = co_native.group_power_l(As32, gsize, iters=8, safety=1.02,
+                                lam2=lam2)
+    if L is None:
+        L = np.empty(ng)
+        for g in range(ng):
+            Ag = As32[:, g * gsize:(g + 1) * gsize]
+            v = (1.0 + 0.01 * np.arange(gsize) / gsize).astype(np.float32)
+            v /= np.linalg.norm(v)
+            for _ in range(8):
+                u = Ag.T @ (Ag @ v)
+                v = u / max(np.linalg.norm(u), 1e-30)
+            u = Ag @ v
+            L[g] = 1.02 * float(u.astype(np.float64) @ u) + lam2
 
     gbuf = np.empty((m, gsize), np.float64, order="F")
     w = np.ascontiguousarray(w, np.float64)

@@ -92,6 +92,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.co_group_power_l.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -267,6 +274,29 @@ def ax_sparse(As32: np.ndarray, xs: np.ndarray,
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return r
+
+
+def group_power_l(As32: np.ndarray, gsize: int, iters: int, safety: float,
+                  lam2: float) -> np.ndarray | None:
+    """Per-group block Lipschitz (safety * lam_max(Ag^T Ag) + lam2) via
+    GIL-released power iterations; None → NumPy path."""
+    lib = _load()
+    if (lib is None or As32.dtype != np.float32
+            or not As32.flags.f_contiguous
+            or As32.shape[1] % gsize != 0):
+        return None
+    m, width = As32.shape
+    ng = width // gsize
+    L = np.empty(ng, np.float64)
+    scratch = np.empty(gsize + m, np.float64)
+    lib.co_group_power_l(
+        As32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(m), ctypes.c_int64(width), ctypes.c_int64(gsize),
+        ctypes.c_int(iters), ctypes.c_double(safety),
+        ctypes.c_double(lam2),
+        L.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return L
 
 
 def read_matrix(path: str) -> np.ndarray:

@@ -364,6 +364,58 @@ void co_ax_sparse(const float* As, int64_t m, int64_t width,
   }
 }
 
-int co_version() { return 5; }
+// Per-group block Lipschitz estimates via power iteration on the f32
+// column-major slab (solvers/polish.py _cd64_group setup): L[g] =
+// safety * lam_max(Ag^T Ag) + lam2, f64 accumulation.  Deterministic
+// start (ones + a small tilt — orthogonality to the top singular vector
+// has measure zero), matching the Python fallback exactly.
+void co_group_power_l(const float* As, int64_t m, int64_t width,
+                      int64_t gsize, int iters, double safety, double lam2,
+                      double* L, double* scratch) {
+  const int64_t ngroups = width / gsize;
+  double* v = scratch;           // (gsize,)
+  double* u = scratch + gsize;   // (m,)
+  for (int64_t g = 0; g < ngroups; ++g) {
+    const float* Ag = As + g * gsize * m;
+    double nv2 = 0.0;
+    for (int64_t c = 0; c < gsize; ++c) {
+      v[c] = 1.0 + 0.01 * static_cast<double>(c) / gsize;
+      nv2 += v[c] * v[c];
+    }
+    double inv = 1.0 / std::sqrt(nv2);
+    for (int64_t c = 0; c < gsize; ++c) v[c] *= inv;
+    double un2 = 0.0;
+    for (int it = 0; it <= iters; ++it) {
+      // u = Ag v (column-major: accumulate per column)
+      for (int64_t i = 0; i < m; ++i) u[i] = 0.0;
+      for (int64_t c = 0; c < gsize; ++c) {
+        const float* ac = Ag + c * m;
+        const double vc = v[c];
+        for (int64_t i = 0; i < m; ++i) {
+          u[i] += static_cast<double>(ac[i]) * vc;
+        }
+      }
+      un2 = 0.0;
+      for (int64_t i = 0; i < m; ++i) un2 += u[i] * u[i];
+      if (it == iters) break;   // final u norm is the Rayleigh quotient
+      // v = Ag^T u, normalized
+      nv2 = 0.0;
+      for (int64_t c = 0; c < gsize; ++c) {
+        const float* ac = Ag + c * m;
+        double s = 0.0;
+        for (int64_t i = 0; i < m; ++i) {
+          s += static_cast<double>(ac[i]) * u[i];
+        }
+        v[c] = s;
+        nv2 += s * s;
+      }
+      inv = 1.0 / std::max(std::sqrt(nv2), 1e-30);
+      for (int64_t c = 0; c < gsize; ++c) v[c] *= inv;
+    }
+    L[g] = safety * un2 + lam2;
+  }
+}
+
+int co_version() { return 6; }
 
 }  // extern "C"

@@ -236,8 +236,9 @@ def test_cd64_native_matches_python_path(monkeypatch):
 
     rng = np.random.default_rng(7)
     m, w = 200, 160
-    As = np.asfortranarray(rng.standard_normal((m, w)).astype(np.float32)
-                           / np.sqrt(m))
+    As = np.asfortranarray(
+        (rng.standard_normal((m, w)) / np.sqrt(m)).astype(np.float32))
+    assert As.dtype == np.float32       # NEP-50: f32/np-scalar upcasts!
     x_true = np.zeros(w)
     x_true[rng.choice(w, 12, replace=False)] = rng.standard_normal(12)
     b = As.astype(np.float64) @ x_true + 0.01 * rng.standard_normal(m)
@@ -267,14 +268,22 @@ def test_cd64_group_native_matches_python_path(monkeypatch):
     rng = np.random.default_rng(11)
     m, ng, gsize = 128, 20, 8
     width = ng * gsize
-    As = np.asfortranarray(rng.standard_normal((m, width)).astype(np.float32)
-                           / np.sqrt(m))
+    As = np.asfortranarray(
+        (rng.standard_normal((m, width)) / np.sqrt(m)).astype(np.float32))
+    assert As.dtype == np.float32       # NEP-50: f32/np-scalar upcasts!
     x_true = np.zeros(width)
     for g in (3, 9):
         x_true[g * gsize:(g + 1) * gsize] = rng.standard_normal(gsize)
     b = As.astype(np.float64) @ x_true + 0.01 * rng.standard_normal(m)
     pen = _NpPenalty("group_l2", 0.04, ng, None, width)
 
+    # native L vs python L agree (f64-vs-f32 iteration rounding only)
+    L_nat = co_native.group_power_l(As, gsize, iters=8, safety=1.02,
+                                    lam2=0.0)
+    assert L_nat is not None and L_nat.shape == (ng,)
+    # pin L to the python fallback for BOTH runs so the sweep arithmetic
+    # is isolated (L only affects step sizes)
+    monkeypatch.setattr(co_native, "group_power_l", lambda *a, **k: None)
     nat = _cd64_group(As.copy(order="F"), b, 0.0, pen, np.zeros(width),
                       tol=1e-10, max_sweeps=400)
     monkeypatch.setattr(co_native, "cd64_group_sweeps",
