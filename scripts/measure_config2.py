@@ -51,7 +51,12 @@ def main():
     per_sweep = baselines["config2_5000x50000_bcd_sweep_s"]
     per_fista = baselines["config2_5000x50000_fista_iter_s"]
 
-    inst = BENCH_CONFIGS["config2"].instance(jax.random.PRNGKey(0))
+    if os.environ.get("C2_CI") == "1":   # small rehearsal twin (CPU)
+        from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+        inst = make_lasso_instance(jax.random.PRNGKey(0), 256, 2048)
+    else:
+        inst = BENCH_CONFIGS["config2"].instance(jax.random.PRNGKey(0))
     problem = inst.problem
     tick("instance ready")
 

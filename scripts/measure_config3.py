@@ -42,8 +42,10 @@ def main():
         per_sweep = json.load(f)[
             "config3_10000x100000_nonneg_en_bcd_sweep_s"]
 
+    m, n = ((256, 2048) if os.environ.get("C3_CI") == "1"
+            else (10_000, 100_000))     # CI twin for CPU rehearsal
     inst, A_np, b_np = make_lasso_instance_host(
-        0, 10_000, 100_000, penalty_kind="nonneg_l1", lam2=1e-3)
+        0, m, n, penalty_kind="nonneg_l1", lam2=1e-3)
     problem = inst.problem
     tick("datagen + upload done")
 
@@ -58,7 +60,7 @@ def main():
     total = res.wall_time_s + pr.wall_time_s
     baseline_s = per_sweep * max(res.iterations, 1)
     print(json.dumps({
-        "metric": "config3_time_to_certified_1e-6_nonneg_en_10000x100000",
+        "metric": f"config3_time_to_certified_1e-6_nonneg_en_{m}x{n}",
         "value": round(total, 3), "unit": "s",
         "solve_s": round(res.wall_time_s, 3),
         "polish_s": round(pr.wall_time_s, 3),
