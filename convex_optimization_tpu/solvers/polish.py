@@ -540,7 +540,10 @@ def _cd64(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
     col_norms = np.sqrt(col_sq)
     lam1 = pen_s.lam1
     nonneg = pen_s.kind == "nonneg_l1"
-    xs = np.ascontiguousarray(xs, np.float64)
+    # full copy, not just ascontiguousarray: both sweep paths mutate xs in
+    # place, and a contiguous f64 input would otherwise alias the caller's
+    # array (review finding — _cd64_group copies for the same reason)
+    xs = np.array(xs, np.float64, copy=True)
     r = np.ascontiguousarray(_residual_sparse32(As32, xs, b))
     ajbuf = np.empty(m, np.float64)
     sweeps = 0

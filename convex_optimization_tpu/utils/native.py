@@ -24,8 +24,27 @@ _lock = threading.Lock()
 _build_failed = False
 
 
+def _host_buildinfo() -> str:
+    """Host signature the .so must have been built on.  -march=native
+    binaries from ANOTHER host can SIGILL (uncatchable) inside the
+    certified polish path, so a mismatch forces a rebuild rather than a
+    crash."""
+    u = os.uname()
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    return f"{u.machine}|{u.nodename}|{flags}"
+
+
 def _load():
-    """Build (if stale) and load the native library; None on failure."""
+    """Build (if stale or foreign-built) and load the native library;
+    None on failure."""
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
@@ -33,13 +52,24 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
+            info_path = _SO + ".buildinfo"
+            want = _host_buildinfo()
+            have = None
+            try:
+                with open(info_path) as f:
+                    have = f.read()
+            except OSError:
+                pass
             if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                    or have != want):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                      "-std=c++17", "-pthread", _SRC, "-o", _SO],
                     check=True, capture_output=True,
                 )
+                with open(info_path, "w") as f:
+                    f.write(want)
             lib = ctypes.CDLL(_SO)
             lib.co_gaussian_fill.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -217,6 +247,13 @@ def gather_cols(A: np.ndarray, idx: np.ndarray, dtype) -> np.ndarray | None:
         return None
     m = A.shape[0]
     idx64 = np.ascontiguousarray(idx, np.int64)
+    # bounds check BEFORE the foreign call: the C gather dereferences
+    # unconditionally, so a stale index would read adjacent heap memory
+    # (silent garbage certificate) where NumPy raises IndexError
+    if len(idx64) and (int(idx64.min()) < 0
+                       or int(idx64.max()) >= A.shape[1]):
+        raise IndexError(
+            f"gather_cols: index out of range for {A.shape[1]} columns")
     # np.zeros, not empty: calloc-backed pages fault at full speed while
     # fresh THP pages stall mid-gather (measured round 1 — see
     # solvers/polish.py _gather_cols)

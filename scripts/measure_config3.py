@@ -58,17 +58,21 @@ def main():
     pr = polish_support(problem, res.x, tol=TOL, A_host=A_np, b_host=b_np,
                         verbose=True)
     total = res.wall_time_s + pr.wall_time_s
-    baseline_s = per_sweep * max(res.iterations, 1)
-    print(json.dumps({
-        "metric": f"config3_time_to_certified_1e-6_nonneg_en_{m}x{n}",
+    ci = os.environ.get("C3_CI") == "1"
+    out = {
+        "metric": (f"config3_time_to_certified_1e-6_nonneg_en_{m}x{n}"
+                   + ("_REHEARSAL" if ci else "")),
         "value": round(total, 3), "unit": "s",
         "solve_s": round(res.wall_time_s, 3),
         "polish_s": round(pr.wall_time_s, 3),
         "sweeps": res.iterations, "timed_sweeps": res.timed_iterations,
         "rel_gap": pr.rel_gap, "certified": bool(pr.rel_gap <= TOL),
-        "baseline_s": round(baseline_s, 1),
-        "vs_baseline": round(baseline_s / total, 2),
-    }))
+    }
+    if not ci:   # the per-unit baseline describes the REAL size only
+        baseline_s = per_sweep * max(res.iterations, 1)
+        out["baseline_s"] = round(baseline_s, 1)
+        out["vs_baseline"] = round(baseline_s / total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

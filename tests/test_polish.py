@@ -225,10 +225,14 @@ def test_cd64_group_direct_with_compaction():
     np.testing.assert_allclose(r, r_chk, rtol=1e-12, atol=1e-14)
 
 
-def test_cd64_native_matches_python_path(monkeypatch):
+@pytest.mark.parametrize("kind,lam2", [("l1", 0.0), ("l1", 1e-2),
+                                       ("nonneg_l1", 0.0),
+                                       ("nonneg_l1", 1e-2)])
+def test_cd64_native_matches_python_path(monkeypatch, kind, lam2):
     """The native C sweep (round 3: GIL-released, immune to the relay
     client's background-thread starvation) must produce the same certified
-    result as the pure-NumPy loop."""
+    result as the pure-NumPy loop — across the soft-threshold/nonneg prox
+    branches and the lam2 gradient term."""
     import numpy as np
 
     from convex_optimization_tpu.solvers.polish import _NpPenalty, _cd64
@@ -240,16 +244,17 @@ def test_cd64_native_matches_python_path(monkeypatch):
         (rng.standard_normal((m, w)) / np.sqrt(m)).astype(np.float32))
     assert As.dtype == np.float32       # NEP-50: f32/np-scalar upcasts!
     x_true = np.zeros(w)
-    x_true[rng.choice(w, 12, replace=False)] = rng.standard_normal(12)
+    sel = rng.choice(w, 12, replace=False)
+    x_true[sel] = np.abs(rng.standard_normal(12))   # nonneg-feasible truth
     b = As.astype(np.float64) @ x_true + 0.01 * rng.standard_normal(m)
-    pen = _NpPenalty("l1", 0.03, 0, None, w)
+    pen = _NpPenalty(kind, 0.03, 0, None, w)
 
-    out_native = _cd64(As.copy(order="F"), b, 0.0, pen, np.zeros(w),
+    out_native = _cd64(As.copy(order="F"), b, lam2, pen, np.zeros(w),
                        tol=1e-10, max_sweeps=400)
     # force the NumPy loop
     monkeypatch.setattr(co_native, "cd64_sweeps",
                         lambda *a, **k: False)
-    out_python = _cd64(As.copy(order="F"), b, 0.0, pen, np.zeros(w),
+    out_python = _cd64(As.copy(order="F"), b, lam2, pen, np.zeros(w),
                        tol=1e-10, max_sweeps=400)
     assert out_native[3] <= 1e-10 and out_python[3] <= 1e-10
     xn = np.zeros(w); xn[out_native[1]] = out_native[0]
@@ -294,3 +299,50 @@ def test_cd64_group_native_matches_python_path(monkeypatch):
     xn = np.zeros(width); xn[nat[1]] = nat[0]
     xp = np.zeros(width); xp[py[1]] = py[0]
     np.testing.assert_allclose(xn, xp, rtol=1e-9, atol=1e-12)
+
+
+def test_native_atr_and_ax_sparse_parity():
+    """co_atr_mixed (incl. lam2 term) and co_ax_sparse match the NumPy
+    formulas exactly-to-rounding."""
+    import numpy as np
+
+    from convex_optimization_tpu.utils import native as co_native
+
+    rng = np.random.default_rng(21)
+    m, w = 160, 96
+    As = np.asfortranarray(
+        (rng.standard_normal((m, w)) / np.sqrt(m)).astype(np.float32))
+    r = rng.standard_normal(m)
+    xs = np.zeros(w)
+    xs[rng.choice(w, 9, replace=False)] = rng.standard_normal(9)
+    b = rng.standard_normal(m)
+
+    z = co_native.atr_mixed(As, r, 0.37, xs)
+    assert z is not None
+    z_ref = -(As.astype(np.float64).T @ r) - 0.37 * xs
+    np.testing.assert_allclose(z, z_ref, rtol=1e-13, atol=1e-14)
+    # lam2=0 / xs=None branch
+    z0 = co_native.atr_mixed(As, r, 0.0, None)
+    np.testing.assert_allclose(z0, -(As.astype(np.float64).T @ r),
+                               rtol=1e-13, atol=1e-14)
+
+    rr = co_native.ax_sparse(As, xs, b)
+    assert rr is not None
+    np.testing.assert_allclose(rr, As.astype(np.float64) @ xs - b,
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_native_gather_cols_bounds_check():
+    """Out-of-range indices must raise IndexError (not read garbage)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from convex_optimization_tpu.utils import native as co_native
+
+    As = np.asfortranarray(np.ones((8, 4), np.float32))
+    if not co_native.have_native():
+        _pytest.skip("no native toolchain")
+    with _pytest.raises(IndexError):
+        co_native.gather_cols(As, np.array([0, 4]), np.float32)
+    with _pytest.raises(IndexError):
+        co_native.gather_cols(As, np.array([-1]), np.float64)
