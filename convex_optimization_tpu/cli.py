@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="float64 instance (CPU verification path)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the solve to DIR")
+    p.add_argument("--plot", metavar="PNG",
+                   help="write the error-vs-iteration convergence plot "
+                        "(or the per-lambda path summary) here — the "
+                        "reference driver's matplotlib output, SURVEY.md C7")
     return p
 
 
@@ -213,6 +217,15 @@ def main(argv=None) -> int:
                   f"nnz={rows[-1]['nnz']}", file=sys.stderr)
         print(json.dumps({"name": name, "mode": "lambda_path",
                           "wall_s": float(t), "path": rows}))
+        if args.plot:
+            from convex_optimization_tpu.utils.plotting import plot_path
+
+            if plot_path([r["lam1"] for r in rows],
+                         [max(r["rel_gap"], 0.0) for r in rows],
+                         [r["iters"] for r in rows],
+                         [r["nnz"] for r in rows], args.plot,
+                         title=f"{name}: lambda path"):
+                print(f"[{name}] wrote {args.plot}", file=sys.stderr)
         if args.checkpoint:
             ckpt.save_snapshot(args.checkpoint, jax.device_get(pr.xs[-1]),
                                float(pr.lambdas[-1]),
@@ -256,6 +269,13 @@ def main(argv=None) -> int:
               f"wall={pr.wall_time_s:.2f}s", file=sys.stderr)
     print(json.dumps(out))
 
+    if args.plot:
+        from convex_optimization_tpu.utils.plotting import plot_history
+
+        if plot_history(res.history, args.plot,
+                        title=f"{name}: {res.method} "
+                              f"{problem.m}x{problem.n}"):
+            print(f"[{name}] wrote {args.plot}", file=sys.stderr)
     if args.jsonl:
         with open(args.jsonl, "w") as f:
             M.write_jsonl(M.records_from_history(res.history,

@@ -110,3 +110,26 @@ def test_cli_polish_flag(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["certified"] and out["certified_rel_gap"] <= 1e-7
+
+
+def test_plot_history_and_path(tmp_path):
+    """--plot output (SURVEY.md C7: the reference driver's error-vs-
+    iteration matplotlib curves); skips cleanly without matplotlib."""
+    import numpy as np
+    import pytest as _pytest
+
+    from convex_optimization_tpu.utils.plotting import plot_history, plot_path
+
+    hist = {"iteration": np.arange(0, 50, 10),
+            "rel_gap": np.geomspace(1e-1, 1e-6, 5),
+            "primal": np.linspace(3.0, 1.0, 5)}
+    p1 = str(tmp_path / "h.png")
+    ok = plot_history(hist, p1, title="t")
+    if not ok:
+        _pytest.skip("matplotlib unavailable")
+    import os
+    assert os.path.getsize(p1) > 0
+    p2 = str(tmp_path / "p.png")
+    assert plot_path([1.0, 0.1, 0.01], [1e-6, 1e-5, 1e-4],
+                     [10, 100, 1000], [1, 5, 9], p2)
+    assert os.path.getsize(p2) > 0
