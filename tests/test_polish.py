@@ -262,9 +262,10 @@ def test_cd64_native_matches_python_path(monkeypatch, kind, lam2):
     np.testing.assert_allclose(xn, xp, rtol=1e-9, atol=1e-12)
 
 
-def test_cd64_group_native_matches_python_path(monkeypatch):
+@pytest.mark.parametrize("lam2", [0.0, 1e-2])
+def test_cd64_group_native_matches_python_path(monkeypatch, lam2):
     """Native group CD sweep == NumPy group CD sweep (same update
-    arithmetic, different reduction order only)."""
+    arithmetic, different reduction order only), incl. the lam2 term."""
     import numpy as np
 
     from convex_optimization_tpu.solvers.polish import _NpPenalty, _cd64_group
@@ -284,16 +285,16 @@ def test_cd64_group_native_matches_python_path(monkeypatch):
 
     # native L vs python L agree (f64-vs-f32 iteration rounding only)
     L_nat = co_native.group_power_l(As, gsize, iters=8, safety=1.02,
-                                    lam2=0.0)
+                                    lam2=lam2)
     assert L_nat is not None and L_nat.shape == (ng,)
     # pin L to the python fallback for BOTH runs so the sweep arithmetic
     # is isolated (L only affects step sizes)
     monkeypatch.setattr(co_native, "group_power_l", lambda *a, **k: None)
-    nat = _cd64_group(As.copy(order="F"), b, 0.0, pen, np.zeros(width),
+    nat = _cd64_group(As.copy(order="F"), b, lam2, pen, np.zeros(width),
                       tol=1e-10, max_sweeps=400)
     monkeypatch.setattr(co_native, "cd64_group_sweeps",
                         lambda *a, **k: False)
-    py = _cd64_group(As.copy(order="F"), b, 0.0, pen, np.zeros(width),
+    py = _cd64_group(As.copy(order="F"), b, lam2, pen, np.zeros(width),
                      tol=1e-10, max_sweeps=400)
     assert nat[3] <= 1e-10 and py[3] <= 1e-10
     xn = np.zeros(width); xn[nat[1]] = nat[0]
