@@ -158,6 +158,30 @@ def _baseline_per_unit(method, A_np, b_np, lam1, base_sweeps):
     return per_unit
 
 
+def relay_reachable(timeout_s: float = 2.0) -> bool:
+    """Probe the axon relay BEFORE importing jax.
+
+    A dead relay makes every `import jax` hang in axon.register()'s retry
+    loop (~40 min before dying with "Unable to initialize backend 'axon'" —
+    BENCH_r03 burned 40 minutes this way).  Probing the TCP ports directly
+    costs milliseconds and lets the bench emit a structured failure line
+    instead of a hang + raw traceback (VERDICT r3 task 2).
+    """
+    import socket
+
+    ips = os.environ.get("PALLAS_AXON_POOL_IPS", "")
+    if not ips or os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
+        return True  # not routed through the relay (e.g. CPU test runs)
+    host = ips.split(",")[0].strip()
+    for port in (8082, 8083, 8117):
+        try:
+            with socket.create_connection((host, port), timeout=timeout_s):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> None:
     # The axon relay client runs PYTHON background threads; with CPython's
     # default 5 ms GIL switch interval every numpy call in the host-side
@@ -169,6 +193,21 @@ def main() -> None:
     m = int(os.environ.get("BENCH_M", 10_000))
     n = int(os.environ.get("BENCH_N", 100_000))
     tol = float(os.environ.get("BENCH_TOL", 1e-6))
+
+    if not relay_reachable():
+        # one structured line in < 60 s instead of a 40-minute hang
+        print(json.dumps({
+            "metric": f"time_to_certified_{tol:g}_rel_gap_lasso_{m}x{n}",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": "relay_unreachable",
+        }))
+        print("# axon relay ports refused connections; aborting before "
+              "jax import (a dead relay hangs every import jax ~40 min)",
+              file=sys.stderr)
+        sys.exit(1)
+
     method = os.environ.get("BENCH_METHOD", "auto")
     base_sweeps = int(os.environ.get("BENCH_BASE_SWEEPS", 2))
     if method == "auto":

@@ -170,20 +170,28 @@ def solve(
         x_ws, info, meta = solve_working_set(problem, cfg, x0=x0,
                                              inner=inner, route=route)
         t1 = time.perf_counter()
-        x0_t = _perturb_start(x0, problem)
-        _, info_t, meta_t = solve_working_set(problem, cfg, x0=x0_t,
-                                              inner=inner, route=route)
-        wall = meta_t["wall_s"]
+        if jax.default_backend() == "tpu":
+            # relay memoization can fake the second run's clock only on the
+            # relay-backed TPU path; elsewhere (CPU tests, CI) the repeat
+            # solve is pure cost — skip it and time the first run (ADVICE r3)
+            x0_t = _perturb_start(x0, problem)
+            _, _, meta_t = solve_working_set(problem, cfg, x0=x0_t,
+                                             inner=inner, route=route)
+            wall, timed_n = meta_t["wall_s"], meta_t["inner_iters"]
+        else:
+            wall, timed_n = meta["wall_s"], meta["inner_iters"]
+        history = dict(meta)
+        # disambiguate from Result.wall_time_s (the timed second run)
+        history["first_run_wall_s"] = history.pop("wall_s")
         res = Result(
             x=x_ws, gap=float(info.gap), rel_gap=float(info.rel_gap),
             primal=float(info.primal), iterations=meta["inner_iters"],
             converged=bool(info.rel_gap <= cfg.tol), wall_time_s=wall,
             compile_time_s=max((t1 - t0) - wall, 0.0),
-            iters_per_sec=(meta_t["inner_iters"] / wall if wall > 0
-                           else 0.0),
-            history=dict(meta),
+            iters_per_sec=(timed_n / wall if wall > 0 else 0.0),
+            history=history,
             method=method, config=cfg,
-            timed_iterations=meta_t["inner_iters"],
+            timed_iterations=timed_n,
         )
         return _maybe_certify(problem, res, certify)
 
@@ -201,6 +209,7 @@ def solve(
         # relay compile instead of minutes of XLA-dot compiles
         A_t_f = None
         from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+            fits_hbm,
             pick_padded_block_size_vpu,
             to_tblock_major,
         )
@@ -217,9 +226,9 @@ def solve(
         if jax.default_backend() == "tpu":
             picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
                                                 dtype=problem.dtype)
-        fits_hbm = (2 * problem.m * problem.n
-                    * jnp.dtype(problem.dtype).itemsize <= 13 * 1024 ** 3)
-        if picked is not None and picked[1] == 0 and fits_hbm:
+        # A + the hoisted A_t copy must both stay resident
+        if (picked is not None and picked[1] == 0
+                and fits_hbm(problem.m, problem.n, problem.dtype, copies=2)):
             from convex_optimization_tpu.ops.matvec_pallas import (
                 spectral_norm_sq_t,
             )
@@ -289,6 +298,7 @@ def solve(
         if cfg.use_pallas:
             from convex_optimization_tpu.ops.bcd_sweep_vpu import (
                 eligible_vpu,
+                fits_hbm,
                 to_tblock_major,
             )
 
@@ -296,11 +306,10 @@ def solve(
             # next to A (and, when padding was needed, the padded copy) —
             # 3 copies of a 4 GB matrix OOM a 16 GB chip (measured)
             copies = 2 if solve_problem is problem else 3
-            fits_hbm = (copies * solve_problem.m * solve_problem.n
-                        * jnp.dtype(solve_problem.dtype).itemsize
-                        <= 13 * 1024 ** 3)
-            if fits_hbm and eligible_vpu(solve_problem.m, solve_problem.n,
-                                         bs, solve_problem.dtype):
+            if (fits_hbm(solve_problem.m, solve_problem.n,
+                         solve_problem.dtype, copies=copies)
+                    and eligible_vpu(solve_problem.m, solve_problem.n,
+                                     bs, solve_problem.dtype)):
                 from convex_optimization_tpu.ops.matvec_pallas import (
                     block_power_t,
                 )

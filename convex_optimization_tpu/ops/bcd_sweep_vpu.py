@@ -59,6 +59,21 @@ from convex_optimization_tpu.core.problem import Problem
 _VMEM_BUDGET_BYTES = int(15 * 1024 * 1024)
 _LANE_CHUNK = 1024  # lane-chunk for the multiply-reduce temporaries
 
+# Single HBM-budget constant for the whole repo (VERDICT r3 task 9): a v5e
+# chip has 16 GiB HBM; 13 GiB is the measured safe headroom once the runtime
+# and compile scratch take their share (3 full-size copies of a 4 GB A OOM'd,
+# 2 + the compact slabs did not — BASELINE.md round 2/3).  Re-measure HERE.
+HBM_BUDGET_BYTES = 13 * 1024 ** 3
+
+
+def fits_hbm(m: int, n: int, dtype=jnp.float32, copies: float = 2.0) -> bool:
+    """True when ``copies`` full-size (m, n) buffers of ``dtype`` fit the
+    HBM budget.  ``copies`` counts persistent full-size buffers: A itself,
+    the hoisted transposed A_t, a zero-padded duplicate when the kernel
+    block needs padding, or fractional slack for compact working-set slabs
+    (e.g. 2.5 = A + A_t + up-to-half-width gathered slab)."""
+    return copies * m * n * jnp.dtype(dtype).itemsize <= HBM_BUDGET_BYTES
+
 
 def fits_vmem_vpu(m: int, block: int, dtype=jnp.float32) -> bool:
     """VMEM model: double-buffered (B, m) A block, two (1, m) residual rows

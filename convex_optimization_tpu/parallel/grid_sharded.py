@@ -26,7 +26,8 @@ from jax.sharding import PartitionSpec as P
 
 from convex_optimization_tpu.core.objective import gap_from_parts
 from convex_optimization_tpu.core.problem import Problem
-from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
+from convex_optimization_tpu.parallel.mesh import (BLOCKS, ROWS,
+                                                     check_lam1_slot)
 from convex_optimization_tpu.solvers.common import (
     History,
     SolveState,
@@ -156,8 +157,8 @@ def grid_sharded_fista(problem: Problem, L_total, state0: SolveState,
                   sspec),
         out_specs=sspec,
     )
-    args = (problem.A, problem.b, pen.lam1, weights, L_total, col_norms,
-            state0)
+    args = check_lam1_slot((problem.A, problem.b, pen.lam1, weights,
+                            L_total, col_norms, state0), pen)
     return jax.jit(f), args
 
 
@@ -277,6 +278,6 @@ def grid_sharded_bcd(problem: Problem, block_L, state0: SolveState,
                   P(BLOCKS), sspec),
         out_specs=sspec,
     )
-    args = (problem.A, problem.b, pen.lam1, weights, block_L, col_norms,
-            state0)
+    args = check_lam1_slot((problem.A, problem.b, pen.lam1, weights,
+                            block_L, col_norms, state0), pen)
     return jax.jit(f), args

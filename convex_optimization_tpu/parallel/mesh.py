@@ -60,3 +60,23 @@ def vec_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# The sharded λ-path re-dispatches every builder's compiled program with a
+# new lam1 swapped into the args tuple (solvers/lambda_path.py).  Every
+# builder (sharded/row_sharded/grid_sharded, fista and bcd) therefore MUST
+# keep lam1 at this positional index; check_lam1_slot makes a reordered
+# builder fail loudly at build time instead of silently solving every path
+# point at the wrong lambda (VERDICT r3 task 8).
+LAM1_ARG_INDEX = 2
+
+
+def check_lam1_slot(args: tuple, penalty) -> tuple:
+    """Assert args[LAM1_ARG_INDEX] IS the penalty's lam1 leaf (object
+    identity — two equal floats from different attributes would not pass),
+    then return args unchanged so builders can wrap their return."""
+    assert args[LAM1_ARG_INDEX] is penalty.lam1, (
+        "builder args reordered: lam1 must stay at "
+        f"args[{LAM1_ARG_INDEX}] (solvers/lambda_path.py swaps it per "
+        "path point)")
+    return args

@@ -25,7 +25,7 @@ from jax.sharding import PartitionSpec as P
 
 from convex_optimization_tpu.core.objective import gap_from_parts
 from convex_optimization_tpu.core.problem import Problem
-from convex_optimization_tpu.parallel.mesh import ROWS
+from convex_optimization_tpu.parallel.mesh import ROWS, check_lam1_slot
 from convex_optimization_tpu.solvers.common import (
     History,
     SolveState,
@@ -130,7 +130,8 @@ def sharded_fista_rows(problem: Problem, L_total, state0: SolveState,
         in_specs=(P(ROWS, None), P(ROWS), P(), P(), P(), sspec),
         out_specs=sspec,
     )
-    args = (problem.A, problem.b, pen.lam1, L_total, col_norms, state0)
+    args = check_lam1_slot((problem.A, problem.b, pen.lam1, L_total,
+                            col_norms, state0), pen)
     return jax.jit(f), args
 
 
@@ -239,5 +240,6 @@ def sharded_bcd_rows(problem: Problem, block_L, state0: SolveState,
         in_specs=(P(ROWS, None), P(ROWS), P(), P(), P(), sspec),
         out_specs=sspec,
     )
-    args = (problem.A, problem.b, pen.lam1, block_L, col_norms, state0)
+    args = check_lam1_slot((problem.A, problem.b, pen.lam1, block_L,
+                            col_norms, state0), pen)
     return jax.jit(f), args

@@ -34,7 +34,8 @@ from convex_optimization_tpu.models.penalties import Penalty
 from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
 from convex_optimization_tpu.ops.bcd_sweep_ref import bcd_sweep_ref
 from convex_optimization_tpu.parallel.collectives import ring_psum
-from convex_optimization_tpu.parallel.mesh import BLOCKS, ROWS
+from convex_optimization_tpu.parallel.mesh import (BLOCKS, ROWS,
+                                                     check_lam1_slot)
 from convex_optimization_tpu.solvers.common import (
     History,
     SolveState,
@@ -190,8 +191,8 @@ def sharded_fista(problem: Problem, L_total, state0: SolveState,
         out_specs=sspec,
         check_vma=(cfg.consensus == "psum"),
     )
-    args = (problem.A, problem.b, pen.lam1, weights, L_total,
-            col_norms, state0)
+    args = check_lam1_slot((problem.A, problem.b, pen.lam1, weights,
+                            L_total, col_norms, state0), pen)
     return jax.jit(f), args
 
 
@@ -420,8 +421,8 @@ def sharded_bcd(problem: Problem, block_L, state0: SolveState,
         out_specs=sspec,
         check_vma=(cfg.consensus == "psum"),  # see sharded_fista note
     )
-    args = (problem.A, problem.b, pen.lam1, weights, block_L,
-            col_norms, state0)
+    args = check_lam1_slot((problem.A, problem.b, pen.lam1, weights,
+                            block_L, col_norms, state0), pen)
     return jax.jit(f), args
 
 

@@ -443,11 +443,17 @@ def _lambda_path_sharded(problem, cfg, mesh, path_len, lam_min_frac,
         L_total = spectral_norm_sq(problem.A) + problem.lam2
         builder = sharded_fista_rows if rows_mesh else sharded_fista
         jfn, args = builder(problem, L_total, state, cfg, mesh)
-    # args = (A, b, lam1, ..., state): lam1 is data at index 2 in every
-    # builder's layout — swap it (and the warm state) per path point
+    # args = (A, b, lam1, ..., state): every builder keeps lam1 at
+    # LAM1_ARG_INDEX (asserted by check_lam1_slot at build time AND
+    # re-verified here by object identity) — swap it (and the warm state)
+    # per path point
+    from convex_optimization_tpu.parallel.mesh import LAM1_ARG_INDEX as _LI
+
+    assert args[_LI] is problem.penalty.lam1, (
+        "builder args reordered: lam1 not at the λ-path swap index")
     xs, gaps, iters = [], [], []
     for lam in lambdas:
-        out = jfn(*args[:2], lam, *args[3:-1], state)
+        out = jfn(*args[:_LI], lam, *args[_LI + 1:-1], state)
         state = make_state(out.x_best)      # warm start, reset counters
         xs.append(out.x_best)               # gap below describes THIS point
         gaps.append(out.best_rel_gap)

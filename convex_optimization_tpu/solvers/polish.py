@@ -663,6 +663,10 @@ def _cd64_group(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
                 v = u / max(np.linalg.norm(u), 1e-30)
             u = Ag @ v
             L[g] = 1.02 * float(u.astype(np.float64) @ u) + lam2
+    # floor: an all-zero group slab with lam2 == 0 yields L[g] == 0, and
+    # the prox division below would NaN-poison the iterate (the certificate
+    # would catch it, but only after burning max_sweeps — ADVICE r3)
+    L = np.maximum(L, 1e-30)
 
     gbuf = np.empty((m, gsize), np.float64, order="F")
     w = np.ascontiguousarray(w, np.float64)
@@ -670,6 +674,7 @@ def _cd64_group(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
     r = np.ascontiguousarray(r)
     sweeps = 0
     rel = gap = primal = np.inf
+    prev_primal = np.inf
     while sweeps < max_sweeps:
         # native path (round 3): whole gap_every batch in one GIL-released
         # C call (same rationale + identical update arithmetic as _cd64's)
@@ -701,6 +706,15 @@ def _cd64_group(As32, b, lam2, pen_s, xs, tol, max_sweeps, gap_every=2,
         gap, primal, rel, alpha = _gap_from_parts(r, b, lam2, pen_s, xs, zs)
         if rel <= tol:
             break
+        # Lipschitz safeguard (ADVICE r3): the 8-step power iteration is a
+        # LOWER-bound estimate of lam_max(Ag^T Ag); a group with a tight
+        # spectral gap can get an L that makes its prox step
+        # non-contractive.  A non-decreasing f64 primal between exact gap
+        # checks is the signature — halve the steps by doubling L
+        # (convergence-only; the certificate math never touches L).
+        if primal > prev_primal * (1.0 + 1e-12):
+            L = L * 2.0
+        prev_primal = min(prev_primal, primal)
         if rescreen and ng > 1:
             radius = np.sqrt(2.0 * max(gap, 0.0))
             wit = (alpha * zs).reshape(ng, gsize)

@@ -94,6 +94,7 @@ def _kernel_route(problem: Problem, force_kernels: bool):
     mode tests), f32, pad-free (group-aligned) block size, HBM room for
     the A_t copy."""
     from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+        fits_hbm,
         pick_padded_block_size_vpu,
         to_tblock_major,
     )
@@ -107,9 +108,8 @@ def _kernel_route(problem: Problem, force_kernels: bool):
                                         dtype=problem.dtype)
     if picked is None or picked[1] != 0:
         return None, 0
-    itemsize = jnp.dtype(problem.dtype).itemsize
     # A + A_t + the (<= bucketed working set) gathered slab
-    if 2.5 * problem.m * problem.n * itemsize > 13 * 1024 ** 3:
+    if not fits_hbm(problem.m, problem.n, problem.dtype, copies=2.5):
         return None, 0
     B = picked[0]
     return to_tblock_major(problem.A, problem.n // B), B

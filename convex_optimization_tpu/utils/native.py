@@ -23,6 +23,13 @@ _lib = None
 _lock = threading.Lock()
 _build_failed = False
 
+# ABI version the bindings below were written against; must match
+# co_version() in native/co_native.cpp.  Checked at load time so a stale
+# cached .so (older build, or one corrupted by a concurrent compile) forces
+# ONE rebuild instead of permanently disabling the native path via an
+# AttributeError on a missing symbol (ADVICE r3).
+_EXPECTED_VERSION = 7
+
 
 def _host_buildinfo() -> str:
     """Host signature the .so must have been built on.  -march=native
@@ -40,6 +47,29 @@ def _host_buildinfo() -> str:
     except OSError:
         pass
     return f"{u.machine}|{u.nodename}|{flags}"
+
+
+def _build(want: str, info_path: str) -> None:
+    """Compile to a temp path and os.replace() into place: concurrent
+    builders can never leave a half-written .so at the canonical path
+    (the replace is atomic; the loser's intact .so simply wins), and the
+    fresh inode means a later CDLL never resolves to a stale dlopen
+    cache entry."""
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", "-pthread", _SRC, "-o", tmp],
+            check=True, capture_output=True,
+        )
+        os.replace(tmp, _SO)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    with open(info_path, "w") as f:
+        f.write(want)
 
 
 def _load():
@@ -60,17 +90,39 @@ def _load():
                     have = f.read()
             except OSError:
                 pass
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-                    or have != want):
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", "-pthread", _SRC, "-o", _SO],
-                    check=True, capture_output=True,
-                )
-                with open(info_path, "w") as f:
-                    f.write(want)
-            lib = ctypes.CDLL(_SO)
+            lib = None
+            for attempt in range(2):
+                if (not os.path.exists(_SO)
+                        or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                        or have != want or attempt > 0):
+                    _build(want, info_path)
+                load_path = _SO
+                if attempt > 0:
+                    # dlopen caches by path STRING within a process, so
+                    # re-CDLL'ing _SO after the rebuild would return the
+                    # stale handle; load the fresh build via a unique
+                    # temp name (the mapping survives the unlink below)
+                    import shutil
+
+                    load_path = f"{_SO}.reload.{os.getpid()}"
+                    shutil.copy2(_SO, load_path)
+                lib = ctypes.CDLL(load_path)
+                if load_path is not _SO:
+                    try:
+                        os.unlink(load_path)
+                    except OSError:
+                        pass
+                try:
+                    lib.co_version.restype = ctypes.c_int
+                    stale = lib.co_version() != _EXPECTED_VERSION
+                except AttributeError:
+                    stale = True  # pre-versioning or truncated .so
+                if not stale:
+                    break
+                if attempt > 0:
+                    raise RuntimeError(
+                        f"co_native.so version mismatch persists after "
+                        f"rebuild (want {_EXPECTED_VERSION})")
             lib.co_gaussian_fill.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_uint64, ctypes.c_int,
@@ -131,6 +183,10 @@ def _load():
             ]
             _lib = lib
         except Exception:
+            if os.environ.get("CO_NATIVE_DEBUG"):
+                import traceback
+
+                traceback.print_exc()
             _build_failed = True
     return _lib
 

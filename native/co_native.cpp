@@ -412,10 +412,12 @@ void co_group_power_l(const float* As, int64_t m, int64_t width,
       inv = 1.0 / std::max(std::sqrt(nv2), 1e-30);
       for (int64_t c = 0; c < gsize; ++c) v[c] *= inv;
     }
-    L[g] = safety * un2 + lam2;
+    // floor: an all-zero group slab with lam2 == 0 yields un2 == 0,
+    // and a zero L would NaN-poison the caller's prox division
+    L[g] = std::max(safety * un2 + lam2, 1e-30);
   }
 }
 
-int co_version() { return 6; }
+int co_version() { return 7; }
 
 }  // extern "C"

@@ -104,3 +104,47 @@ def test_sharded_lambda_path_bcd(mesh8):
                       method="bcd")
     np.testing.assert_allclose(np.asarray(bcd.xs), np.asarray(ref.xs),
                                atol=2e-4)
+
+
+def test_lam1_slot_guard_fails_loudly_on_reorder(mesh8):
+    """VERDICT r3 task 8: the sharded λ-path swaps lam1 by position; a
+    builder that moves lam1 must fail at build time, not silently solve
+    every path point at the wrong lambda."""
+    import dataclasses
+
+    from convex_optimization_tpu.parallel.mesh import (LAM1_ARG_INDEX,
+                                                       check_lam1_slot)
+    from convex_optimization_tpu.parallel.sharded import sharded_fista
+    from convex_optimization_tpu.ops.power_iter import spectral_norm_sq
+    from convex_optimization_tpu.solvers.common import SolverConfig
+    from convex_optimization_tpu.solvers.fista import init_state
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    p = inst.problem
+    pen = p.penalty
+    # a reordered tuple (lam1 displaced) trips the guard
+    bad = (p.A, pen.lam1, p.b)
+    with pytest.raises(AssertionError, match="reordered"):
+        check_lam1_slot(bad, pen)
+    # an equal-but-distinct float at the slot trips it too (identity check)
+    bad2 = (p.A, p.b, float(pen.lam1) + 0.0)
+    if bad2[LAM1_ARG_INDEX] is not pen.lam1:
+        with pytest.raises(AssertionError, match="reordered"):
+            check_lam1_slot(bad2, pen)
+    # the real builder passes its own guard and lands lam1 at the index
+    cfg = SolverConfig(tol=1e-4, max_iters=50)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from convex_optimization_tpu.parallel.mesh import BLOCKS
+    from convex_optimization_tpu.parallel.sharded import _state_specs
+
+    A = jax.device_put(p.A, NamedSharding(mesh8, P(None, BLOCKS)))
+    b = jax.device_put(p.b, NamedSharding(mesh8, P()))
+    ps = dataclasses.replace(p, A=A, b=b)
+    state = init_state(ps, None, cfg)
+    state = jax.device_put(
+        state,
+        jax.tree.map(lambda sp: NamedSharding(mesh8, sp), _state_specs(),
+                     is_leaf=lambda v: isinstance(v, P)))
+    L = spectral_norm_sq(ps.A) + ps.lam2
+    _, args = sharded_fista(ps, L, state, cfg, mesh8)
+    assert args[LAM1_ARG_INDEX] is ps.penalty.lam1
