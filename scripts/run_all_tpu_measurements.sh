@@ -1,24 +1,59 @@
 #!/bin/bash
-# Run every queued round-3 TPU measurement sequentially on a QUIET host
+# Run every queued TPU measurement sequentially on a QUIET host
 # (CLAUDE.md: never overlap CPU work with relay-backed TPU timing).
-# Each prints its JSON row; logs land in /tmp/r3_*.log.
+# Each prints its JSON row; logs land in /tmp/r4_*.log and are copied to
+# artifacts/r4/ at the end.
 #
-# Order: cheapest-first so early relay flakiness costs least.
+# Order: cheapest-first so early relay flakiness costs least; bench.py
+# LAST (it is the driver's headline capture and wants warm caches gone —
+# it measures its own compile/warm-up split).
 set -u
 cd "$(dirname "$0")/.."
 
+# fail fast on a dead relay (BENCH_r03 hung 40 min before dying)
+probe() {
+  for p in 8082 8083 8117; do
+    if timeout 2 bash -c "echo > /dev/tcp/127.0.0.1/$p" 2>/dev/null; then
+      return 0
+    fi
+  done
+  return 1
+}
+if ! probe; then
+  echo '{"error": "relay_unreachable", "battery": "aborted"}'
+  exit 1
+fi
+
+MAIN_LOG=/tmp/r4_measure.log
 run() {
   local name=$1; shift
-  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a /tmp/r3_measure.log
-  timeout "$1" python "scripts/$name" > "/tmp/r3_${name%.py}.log" 2>&1
+  local tmo=$1; shift
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$MAIN_LOG"
+  if ! probe; then
+    echo "--- $name SKIPPED: relay died mid-battery" | tee -a "$MAIN_LOG"
+    return
+  fi
+  timeout "$tmo" env "$@" python "scripts/$name" > "/tmp/r4_${name%.py}.log" 2>&1
   local rc=$?
-  tail -3 "/tmp/r3_${name%.py}.log" | tee -a /tmp/r3_measure.log
-  echo "--- $name rc=$rc" | tee -a /tmp/r3_measure.log
+  tail -5 "/tmp/r4_${name%.py}.log" | tee -a "$MAIN_LOG"
+  echo "--- $name rc=$rc" | tee -a "$MAIN_LOG"
 }
 
+run probe_warmup_aot.py     2400
 run measure_config2.py      2400
 run measure_headline_ws.py  2400
 run measure_config4.py      3000
 run measure_config3.py      2400
 run measure_config5_slab.py 3000
-echo "ALL DONE $(date -u)" | tee -a /tmp/r3_measure.log
+run measure_admm_scale.py   3600
+
+echo "=== bench.py ($(date -u +%H:%M:%S)) ===" | tee -a "$MAIN_LOG"
+if probe; then
+  timeout 3000 python bench.py > /tmp/r4_bench.log 2>&1
+  echo "--- bench rc=$?" | tee -a "$MAIN_LOG"
+  tail -3 /tmp/r4_bench.log | tee -a "$MAIN_LOG"
+fi
+
+mkdir -p artifacts/r4
+cp /tmp/r4_*.log artifacts/r4/ 2>/dev/null
+echo "ALL DONE $(date -u)" | tee -a "$MAIN_LOG"
