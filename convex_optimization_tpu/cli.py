@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path-compact", action="store_true",
                    help="per-lambda gap-safe compaction along the path "
                         "(actual FLOP reduction at the sparse end)")
+    p.add_argument("--cv", type=int, default=0, metavar="K",
+                   help="K-fold cross-validation over the lambda path "
+                        "(picks lambda by held-out MSE; path length from "
+                        "--lambda-path, default 10)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard A over this many devices")
     p.add_argument("--mesh-axis", default="blocks",
@@ -176,6 +180,39 @@ def main(argv=None) -> int:
             problem = problem.with_lam1(snap.lam1)
             print(f"resumed from {args.checkpoint} (lam_index="
                   f"{snap.lam_index})", file=sys.stderr)
+
+    if args.cv:
+        from convex_optimization_tpu.solvers.common import SolverConfig
+        from convex_optimization_tpu.solvers.cv import cv_lambda_path
+
+        scfg = SolverConfig(max_iters=args.max_iters, tol=args.tol,
+                            gap_every=args.gap_every,
+                            screen_every=1 if screen else 0,
+                            stall_checks=args.stall_checks)
+        with M.WallTimer() as t:
+            cvres = cv_lambda_path(
+                problem, scfg, k=args.cv, path_len=lambda_path or 10,
+                seed=args.seed,
+                method=args.method if args.method != "fista" else "fista")
+            float(jnp.sum(cvres.mean_mse))   # value-fetch barrier
+        out = {
+            "name": name, "mode": "cv", "k": args.cv,
+            "wall_s": float(t),
+            "lambdas": [float(v) for v in cvres.lambdas],
+            "mean_mse": [float(v) for v in cvres.mean_mse],
+            "se_mse": [float(v) for v in cvres.se_mse],
+            "best_lambda": cvres.best_lambda,
+            "one_se_lambda": cvres.one_se_lambda,
+            "nnz_best": int(jnp.sum(cvres.x != 0)),
+            "nnz_one_se": int(jnp.sum(cvres.x_one_se != 0)),
+        }
+        print(f"[{name}] cv k={args.cv}: best_lambda="
+              f"{cvres.best_lambda:.4g} (mse "
+              f"{float(cvres.mean_mse[cvres.best_index]):.4g}), 1-SE "
+              f"lambda={cvres.one_se_lambda:.4g}, wall={float(t):.2f}s",
+              file=sys.stderr)
+        print(json.dumps(out))
+        return 0
 
     if lambda_path:
         from convex_optimization_tpu.solvers.common import SolverConfig

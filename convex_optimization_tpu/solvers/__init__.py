@@ -6,6 +6,7 @@ from convex_optimization_tpu.solvers.common import SolverConfig, SolveState, His
 from convex_optimization_tpu.solvers.fista import fista, fista_step
 from convex_optimization_tpu.solvers.bcd import bcd
 from convex_optimization_tpu.solvers.lambda_path import lambda_path
+from convex_optimization_tpu.solvers.cv import cv_lambda_path, CVResult
 from convex_optimization_tpu.solvers.screening import gap_safe_keep_mask
 
 __all__ = [
@@ -16,5 +17,7 @@ __all__ = [
     "fista_step",
     "bcd",
     "lambda_path",
+    "cv_lambda_path",
+    "CVResult",
     "gap_safe_keep_mask",
 ]
