@@ -212,6 +212,13 @@ def main(argv=None) -> int:
               f"lambda={cvres.one_se_lambda:.4g}, wall={float(t):.2f}s",
               file=sys.stderr)
         print(json.dumps(out))
+        if args.plot:
+            from convex_optimization_tpu.utils.plotting import plot_cv
+
+            if plot_cv(cvres.lambdas, cvres.mean_mse, cvres.se_mse,
+                       cvres.best_lambda, cvres.one_se_lambda, args.plot,
+                       title=f"{name}: {args.cv}-fold CV"):
+                print(f"[{name}] wrote {args.plot}", file=sys.stderr)
         return 0
 
     if lambda_path:

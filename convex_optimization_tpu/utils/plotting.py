@@ -79,3 +79,36 @@ def plot_path(lambdas, gaps, iters, nnzs, path: str, *,
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return True
+
+def plot_cv(lambdas, mean_mse, se_mse, best_lambda, one_se_lambda,
+            path: str, *, title: str = "") -> bool:
+    """CV curve: mean held-out MSE ± 1 SE against lambda (log-x), with the
+    MSE-minimizing and 1-SE-rule choices marked.  Returns True if written."""
+    import numpy as np
+
+    plt = _plt()
+    if plt is None:
+        return False
+    lam = np.asarray(lambdas, dtype=float)
+    mu = np.asarray(mean_mse, dtype=float)
+    se = np.asarray(se_mse, dtype=float)
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    ax.errorbar(lam, mu, yerr=se, fmt="o-", ms=4, capsize=3,
+                color="tab:blue", ecolor="tab:blue", alpha=0.85,
+                label="held-out MSE (mean ± 1 SE)")
+    ax.set_xscale("log")
+    ax.axvline(best_lambda, color="tab:green", ls="--",
+               label=f"min MSE (λ={best_lambda:.3g})")
+    if one_se_lambda != best_lambda:
+        ax.axvline(one_se_lambda, color="tab:orange", ls=":",
+                   label=f"1-SE rule (λ={one_se_lambda:.3g})")
+    ax.set_xlabel("lambda")
+    ax.set_ylabel("validation MSE")
+    ax.grid(True, which="both", alpha=0.25)
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return True
