@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ridge coefficient (elastic net)")
     p.add_argument("--method", default="fista",
                    choices=["fista", "ista", "bcd", "bcd_pallas", "admm",
-                            "fista_ws", "bcd_ws"])
+                            "fista_ws", "bcd_ws", "bcd_batch"])
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iters", type=int, default=10_000)
     p.add_argument("--gap-every", type=int, default=10)

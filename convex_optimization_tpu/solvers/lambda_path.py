@@ -103,6 +103,19 @@ def lambda_path(
     xs, gaps, iters, kept = [], [], [], []
     x_warm = None
 
+    if not compact and method == "bcd_batch":
+        # round 4: every path point iterates SIMULTANEOUSLY against one
+        # streamed read of A per sweep (ops/bcd_sweep_vpu_batch.py) — total
+        # passes = max over points instead of sum over points; falls back
+        # to the sequential bcd_pallas path when the batch gate fails
+        from convex_optimization_tpu.solvers.batched_path import (
+            batched_lambda_path,
+        )
+
+        return batched_lambda_path(problem, cfg, lambdas=lambdas,
+                                   path_len=path_len,
+                                   lam_min_frac=lam_min_frac)
+
     if not compact and method in ("fista_ws", "bcd_ws"):
         # working-set path (round 3, VERDICT r2 #4): each point re-solves a
         # compacted subproblem whose support overlaps the previous point's,

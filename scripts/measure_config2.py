@@ -63,7 +63,8 @@ def main():
 
     cfg = SolverConfig(tol=1e-6, max_iters=10_000, gap_every=10,
                        stall_checks=10, block_size=128)
-    methods = os.environ.get("C2_METHODS", "bcd_pallas,bcd_ws").split(",")
+    methods = os.environ.get("C2_METHODS",
+                             "bcd_pallas,bcd_ws,bcd_batch").split(",")
     results = {}
     for method in methods:
         t0 = time.perf_counter()
@@ -98,7 +99,13 @@ def main():
                      next(iter(results.values())))["total_units"]
         ref_unit_cost = per_sweep
         for method, row in results.items():
-            base = (row["baseline_s"] if "ws" not in method
+            # ws: inner iterations are cheaper than full-width units;
+            # bcd_batch: per-lambda counts are COLD (no warm starts) and
+            # sum far above the warm sequential schedule the CPU baseline
+            # would actually run.  Both would flatter us — charge the
+            # warm bcd_pallas path's unit count instead.
+            base = (row["baseline_s"]
+                    if method in ("bcd_pallas", "fista", "bcd")
                     else round(ref_unit_cost * ref_units, 1))
             row["vs_baseline"] = round(base / row["wall_s"], 2)
     else:

@@ -1,0 +1,155 @@
+"""Batched-lambda kernels and path solver (round 4): each lambda slice of
+the batched programs must match the proven single-lambda kernels exactly
+(same arithmetic, same chunking), and the batched path must reproduce the
+sequential warm-started path's solutions point-for-point."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convex_optimization_tpu.core.datagen import make_lasso_instance
+from convex_optimization_tpu.solvers.common import SolverConfig
+from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+    bcd_sweep_vpu,
+    to_tblock_major,
+)
+from convex_optimization_tpu.ops.bcd_sweep_vpu_batch import (
+    ax_minus_b_batch_t,
+    batch_sweep_vpu,
+    eligible_vpu_batch,
+    neg_at_r_batch_t,
+)
+from convex_optimization_tpu.ops.matvec_pallas import (
+    ax_minus_b_t,
+    block_power_t,
+    neg_at_r_t,
+)
+
+KEY = jax.random.PRNGKey(77)
+
+
+def _setup(kind="l1", ngroups=0, m=64, n=256, B=32, lam2=0.0):
+    inst = make_lasso_instance(KEY, m, n, penalty_kind=kind,
+                               ngroups=ngroups, lam2=lam2)
+    p = inst.problem
+    nb = n // B
+    A_t = to_tblock_major(p.A, nb)
+    block_L = block_power_t(A_t, interpret=True)
+    steps = (1.0 / (block_L + p.lam2)).astype(p.dtype)
+    return p, A_t, steps
+
+
+@pytest.mark.parametrize("kind,ngroups,lam2", [
+    ("l1", 0, 0.0),
+    ("l1", 0, 1e-2),
+    ("nonneg_l1", 0, 0.0),
+    ("group_l2", 32, 0.0),
+])
+def test_batched_sweep_matches_single_per_lambda(kind, ngroups, lam2):
+    p, A_t, steps = _setup(kind, ngroups, lam2=lam2)
+    nb, B, m = A_t.shape
+    lam1s = jnp.asarray([2.0, 1.0, 0.25], p.dtype) * p.penalty.lam1
+    L = 3
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((nb, L, B)), p.dtype) * 0.1
+    if kind == "nonneg_l1":
+        X = jnp.abs(X)
+    gsize = p.n // ngroups if ngroups else 1
+    w = (p.penalty._gweights(p.dtype).reshape(nb, 1, B // gsize)
+         if kind == "group_l2" else None)
+    # residuals consistent with X per lambda
+    R = jnp.stack([
+        p.A @ X[:, l, :].reshape(p.n) - p.b for l in range(L)])
+
+    Xb, Rb = batch_sweep_vpu(A_t, X, R, steps, lam1s, p.lam2, kind=kind,
+                             gsize=gsize, weights=w, interpret=True)
+    for l in range(L):
+        pl_ = jax.tree_util.tree_map(lambda v: v, p)
+        import dataclasses
+        pl_ = dataclasses.replace(
+            p, penalty=p.penalty.with_lam1(lam1s[l]))
+        block_L = (1.0 / steps) - p.lam2
+        x1, r1 = bcd_sweep_vpu(pl_, X[:, l, :].reshape(p.n), R[l],
+                               block_L, interpret=True, A_t=A_t)
+        np.testing.assert_allclose(
+            np.asarray(Xb[:, l, :].reshape(p.n)), np.asarray(x1),
+            atol=1e-6, err_msg=f"lambda slice {l} (x)")
+        np.testing.assert_allclose(
+            np.asarray(Rb[l]), np.asarray(r1), atol=1e-5,
+            err_msg=f"lambda slice {l} (r)")
+
+
+def test_batched_matvecs_match_single_per_lambda():
+    p, A_t, _ = _setup()
+    nb, B, m = A_t.shape
+    L = 4
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((nb, L, B)), p.dtype)
+    R = jnp.asarray(rng.standard_normal((L, m)), p.dtype)
+    lam2 = 0.37
+
+    Rb = ax_minus_b_batch_t(A_t, X, p.b, interpret=True)
+    Zb = neg_at_r_batch_t(A_t, R, X, lam2, interpret=True)
+    for l in range(L):
+        x_l = X[:, l, :].reshape(p.n)
+        r1 = ax_minus_b_t(A_t, x_l, p.b, interpret=True)
+        z1 = neg_at_r_t(A_t, R[l], x_l, lam2, interpret=True)
+        np.testing.assert_allclose(np.asarray(Rb[l]), np.asarray(r1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(Zb[:, l, :].reshape(p.n)), np.asarray(z1),
+            atol=1e-5)
+
+
+def test_eligibility_gate():
+    assert eligible_vpu_batch(64, 256, 32, 3)
+    assert not eligible_vpu_batch(64, 256, 32, 0)
+    assert not eligible_vpu_batch(64, 256, 32, 99)     # L > MAX_BATCH
+    assert not eligible_vpu_batch(64, 250, 32, 3)      # n % B
+    assert not eligible_vpu_batch(64, 256, 32, 3, jnp.float64)
+
+
+@pytest.mark.parametrize("kind,ngroups", [
+    ("l1", 0),
+    ("nonneg_l1", 0),
+    ("group_l2", 32),
+])
+def test_batched_path_matches_sequential(kind, ngroups):
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(KEY, 64, 256, penalty_kind=kind,
+                               ngroups=ngroups)
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=10,
+                       stall_checks=20)
+    seq = lambda_path(inst.problem, cfg, path_len=6)
+    bat = batched_lambda_path(inst.problem, cfg, path_len=6)
+    np.testing.assert_allclose(np.asarray(bat.lambdas),
+                               np.asarray(seq.lambdas), rtol=1e-6)
+    # per-point certificate no worse than the sequential solver's own
+    # (both floor at the instance's f32 noise level on the deepest points)
+    assert np.all(np.asarray(bat.gaps)
+                  <= np.maximum(1e-5, 3.0 * np.asarray(seq.gaps)))
+    # a 1e-6-grade certificate pins the OBJECTIVE, not x itself, so two
+    # certified solvers can sit a few 1e-3 apart in x near lam_max where
+    # the solution is barely nonzero (observed 3e-3 on the group case)
+    for l in range(6):
+        np.testing.assert_allclose(
+            np.asarray(bat.xs[l]), np.asarray(seq.xs[l]), atol=5e-3,
+            err_msg=f"path point {l}")
+
+
+def test_batched_path_fallback_on_ineligible():
+    # f64 problems fail the gate and must fall back to the sequential path
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(KEY, 64, 256, dtype=jnp.float64)
+    cfg = SolverConfig(tol=1e-8, max_iters=2000)
+    res = batched_lambda_path(inst.problem, cfg, path_len=4)
+    assert res.xs.shape == (4, 256)
+    assert np.all(np.asarray(res.gaps) <= 1e-7)
