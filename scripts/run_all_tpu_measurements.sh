@@ -39,6 +39,7 @@ run() {
   echo "--- $name rc=$rc" | tee -a "$MAIN_LOG"
 }
 
+run validate_batch_kernels_tpu.py 1200
 run probe_warmup_aot.py     2400
 run measure_config2.py      2400
 run measure_headline_ws.py  2400
