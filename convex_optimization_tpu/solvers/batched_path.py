@@ -91,16 +91,22 @@ def _penalty_parts(kind: str, gsize: int, weights, X, Z):
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "gsize", "cfg", "interpret"))
-def _solve_batched(A_t, b, lam1s, lam2, steps, weights, *, kind, gsize,
-                   cfg: SolverConfig, interpret):
-    """The single jitted batched-path program (no XLA dots anywhere)."""
+def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, *, kind,
+                   gsize, cfg: SolverConfig, interpret):
+    """The single jitted batched-path program (no XLA dots anywhere).
+    x0 (n_blocks, B) / r0 (m,) warm-start every point (None = cold from 0:
+    the dense-grid chunking warm-starts chunk k+1 from chunk k's deepest
+    solution)."""
     n_blocks, B, m = A_t.shape
     L = lam1s.shape[0]
     dtype = A_t.dtype
-    b_dot_b = jnp.vdot(b, b)
 
-    X0 = jnp.zeros((n_blocks, L, B), dtype)
-    R0 = jnp.broadcast_to(-b[None, :], (L, m)).astype(dtype)
+    if x0 is None:
+        X0 = jnp.zeros((n_blocks, L, B), dtype)
+        R0 = jnp.broadcast_to(-b[None, :], (L, m)).astype(dtype)
+    else:
+        X0 = jnp.broadcast_to(x0[:, None, :], (n_blocks, L, B)).astype(dtype)
+        R0 = jnp.broadcast_to(r0[None, :], (L, m)).astype(dtype)
     inf = jnp.full((L,), jnp.inf, dtype)
     state0 = _BatchState(
         X=X0, R=R0, X_best=X0, best_gap=inf, best_rel=inf,
@@ -212,9 +218,15 @@ def batched_lambda_path(
     picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
                                         multiple_of=multiple,
                                         dtype=problem.dtype)
+    # dense grids run in consecutive chunks of <= MAX_BATCH points, each
+    # chunk warm-started from the previous chunk's deepest solution (GS
+    # prox descent is monotone from any start); equal-size chunks keep the
+    # number of distinct program shapes at <= 2 (body chunks + remainder)
+    n_chunks = -(-L // MAX_BATCH)
+    chunk = -(-L // n_chunks)
     ok = (picked is not None and picked[1] == 0
-          and eligible_vpu_batch(problem.m, problem.n, picked[0], L,
-                                 problem.dtype))
+          and eligible_vpu_batch(problem.m, problem.n, picked[0],
+                                 min(L, chunk), problem.dtype))
     if not ok:
         from convex_optimization_tpu.solvers.lambda_path import lambda_path
 
@@ -234,12 +246,31 @@ def batched_lambda_path(
         weights = problem.penalty._gweights(problem.dtype).reshape(
             n_blocks, 1, B // multiple)
 
-    final = _solve_batched(A_t, problem.b, lambdas, problem.lam2, steps,
-                           weights, kind=problem.penalty.kind,
-                           gsize=multiple, cfg=cfg, interpret=interpret)
+    xs_parts, gaps_parts, iters_parts = [], [], []
+    x_warm = r_warm = None
+    for c0 in range(0, L, chunk):
+        lam_c = lambdas[c0:c0 + chunk]
+        final = _solve_batched(A_t, problem.b, lam_c, problem.lam2, steps,
+                               weights, x_warm, r_warm,
+                               kind=problem.penalty.kind,
+                               gsize=multiple, cfg=cfg, interpret=interpret)
+        Lc = lam_c.shape[0]
+        xs_parts.append(final.X_best.transpose(1, 0, 2).reshape(
+            Lc, problem.n))
+        gaps_parts.append(final.best_rel)
+        iters_parts.append(final.iters_done)
+        if c0 + chunk < L:
+            from convex_optimization_tpu.ops.matvec_pallas import (
+                ax_minus_b_t,
+            )
 
-    xs = final.X_best.transpose(1, 0, 2).reshape(L, problem.n)
+            x_warm = final.X_best[:, Lc - 1, :]
+            r_warm = ax_minus_b_t(A_t, x_warm.reshape(problem.n),
+                                  problem.b, interpret=interpret)
+
     return PathResult(
-        lambdas=lambdas, xs=xs, gaps=final.best_rel,
-        iters=final.iters_done,
+        lambdas=lambdas,
+        xs=jnp.concatenate(xs_parts, axis=0),
+        gaps=jnp.concatenate(gaps_parts),
+        iters=jnp.concatenate(iters_parts),
     )

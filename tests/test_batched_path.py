@@ -153,3 +153,22 @@ def test_batched_path_fallback_on_ineligible():
     res = batched_lambda_path(inst.problem, cfg, path_len=4)
     assert res.xs.shape == (4, 256)
     assert np.all(np.asarray(res.gaps) <= 1e-7)
+
+
+def test_batched_path_dense_grid_chunks():
+    """Grids past MAX_BATCH run in warm-started chunks and stay certified."""
+    from convex_optimization_tpu.solvers.batched_path import (
+        MAX_BATCH,
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=10,
+                       stall_checks=20)
+    L = MAX_BATCH + 5
+    res = batched_lambda_path(inst.problem, cfg, path_len=L)
+    assert res.xs.shape == (L, 256)
+    assert np.all(np.asarray(res.gaps) <= 1e-4)
+    # lambdas descend and nnz grows (weakly) along the descent tail
+    lam = np.asarray(res.lambdas)
+    assert np.all(np.diff(lam) < 0)
