@@ -358,6 +358,11 @@ def solve(
         make_state = lambda x: admm_mod.init_state(problem, x, cfg)
         jfn = admm_mod.admm
         jargs = lambda s: (problem, fac, s, cfg)
+    elif method == "bcd_batch":
+        raise ValueError(
+            "method 'bcd_batch' solves a LAMBDA GRID, not a single point — "
+            "use lambda_path(problem, cfg, method='bcd_batch') or the CLI's "
+            "--method bcd_batch --lambda-path N")
     else:
         raise ValueError(f"unknown method {method!r}")
 

@@ -172,3 +172,33 @@ def test_batched_path_dense_grid_chunks():
     # lambdas descend and nnz grows (weakly) along the descent tail
     lam = np.asarray(res.lambdas)
     assert np.all(np.diff(lam) < 0)
+
+
+def test_batched_path_explicit_grid_and_elastic_net():
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(KEY, 64, 256, lam2=1e-2)
+    p = inst.problem
+    lmax = float(jnp.max(jnp.abs(p.A.T @ p.b)))
+    grid = jnp.geomspace(0.6 * lmax, 0.05 * lmax, 4)
+    cfg = SolverConfig(tol=1e-6, max_iters=3000, gap_every=10,
+                       stall_checks=20)
+    res = batched_lambda_path(p, cfg, lambdas=grid)
+    assert res.xs.shape == (4, 256)
+    np.testing.assert_allclose(np.asarray(res.lambdas), np.asarray(grid),
+                               rtol=1e-6)
+    assert np.all(np.asarray(res.gaps) <= 1e-4)
+
+
+def test_cv_with_batched_method():
+    from convex_optimization_tpu.solvers.cv import cv_lambda_path
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    cfg = SolverConfig(tol=1e-4, max_iters=1500, gap_every=10,
+                       stall_checks=15)
+    res = cv_lambda_path(inst.problem, cfg, k=3, path_len=5,
+                         method="bcd_batch")
+    assert res.val_mse.shape == (3, 5)
+    assert np.all(np.isfinite(np.asarray(res.mean_mse)))
