@@ -7,12 +7,15 @@ HBM pass of A per sweep per point; its total cost is
 sum_k sweeps(lam_k) passes.  This solver runs cyclic Gauss-Seidel block
 prox on an (L, n) batch of iterates — every lambda in the grid at once,
 each with its own threshold — so the total cost is max_k sweeps(lam_k)
-passes: the deep points' sweeps carry every other point for free.  The
-trade is cold starts (no warm starting inside a simultaneous batch); on
-the relay-measured numbers the shared pass wins when the HBM stream is
-the bottleneck, which is exactly the production regime.  Certification
-semantics match lambda_path: per-point f32 duality-gap certificates with
-best-iterate tracking and stall detection at the f32 floor.
+passes: the deep points' sweeps carry every other point for free.
+Points start cold, but an IN-JIT CASCADE WARM START recovers most of the
+sequential path's warm-start benefit: at every gap check, each point
+adopts its larger-lambda neighbor's iterate whenever that iterate is
+primal-better at its own lambda (evaluated for free from the already-
+reduced parts; GS prox descent is monotone from any start, so adoption
+is always sound).  Certification semantics match lambda_path: per-point
+f32 duality-gap certificates with best-iterate tracking and stall
+detection at the f32 floor.
 
 Every program in the solve is kernel-routed (batched sweep, batched exact
 refresh, batched witness, in-kernel block power iteration): no full-size
@@ -28,8 +31,6 @@ from __future__ import annotations
 
 import functools
 from typing import NamedTuple
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
