@@ -21,7 +21,11 @@ standard geometric spacing the warm start's gap at the NEXT lam1 is large
 column and each point pays a fresh re-jit — 75s vs 7.8s for the plain
 path.  Use compact=True only for DENSELY spaced paths (small lam steps,
 e.g. 50+ points), where the warm-start gap is small and the screen bites;
-otherwise prefer compact=False (in-solver masks are free).
+otherwise prefer compact=False (in-solver masks are free).  Round 4:
+``method='bcd_batch'`` (solvers/batched_path.py) is usually the better
+answer at BOTH spacings when its kernel gate holds — one shared HBM
+stream of A serves every grid point per sweep, dense grids run in
+warm-started chunks of 16.
 """
 
 from __future__ import annotations
