@@ -1,8 +1,8 @@
 #!/bin/bash
 # Run every queued TPU measurement sequentially on a QUIET host
 # (CLAUDE.md: never overlap CPU work with relay-backed TPU timing).
-# Each prints its JSON row; logs land in /tmp/r4_*.log and are copied to
-# artifacts/r4/ at the end.
+# Each prints its JSON row; logs land in /tmp/r5_*.log and are copied to
+# artifacts/r5/ at the end.
 #
 # Order: cheapest-first so early relay flakiness costs least; bench.py
 # LAST (it is the driver's headline capture and wants warm caches gone —
@@ -24,7 +24,7 @@ if ! probe; then
   exit 1
 fi
 
-MAIN_LOG=/tmp/r4_measure.log
+MAIN_LOG=/tmp/r5_measure.log
 run() {
   local name=$1; shift
   local tmo=$1; shift
@@ -33,9 +33,9 @@ run() {
     echo "--- $name SKIPPED: relay died mid-battery" | tee -a "$MAIN_LOG"
     return
   fi
-  timeout "$tmo" env "$@" python "scripts/$name" > "/tmp/r4_${name%.py}.log" 2>&1
+  timeout "$tmo" env "$@" python "scripts/$name" > "/tmp/r5_${name%.py}.log" 2>&1
   local rc=$?
-  tail -5 "/tmp/r4_${name%.py}.log" | tee -a "$MAIN_LOG"
+  tail -5 "/tmp/r5_${name%.py}.log" | tee -a "$MAIN_LOG"
   echo "--- $name rc=$rc" | tee -a "$MAIN_LOG"
 }
 
@@ -50,11 +50,11 @@ run measure_admm_scale.py   3600
 
 echo "=== bench.py ($(date -u +%H:%M:%S)) ===" | tee -a "$MAIN_LOG"
 if probe; then
-  timeout 3000 python bench.py > /tmp/r4_bench.log 2>&1
+  timeout 3000 python bench.py > /tmp/r5_bench.log 2>&1
   echo "--- bench rc=$?" | tee -a "$MAIN_LOG"
-  tail -3 /tmp/r4_bench.log | tee -a "$MAIN_LOG"
+  tail -3 /tmp/r5_bench.log | tee -a "$MAIN_LOG"
 fi
 
-mkdir -p artifacts/r4
-cp /tmp/r4_*.log artifacts/r4/ 2>/dev/null
+mkdir -p artifacts/r5
+cp /tmp/r5_*.log artifacts/r5/ 2>/dev/null
 echo "ALL DONE $(date -u)" | tee -a "$MAIN_LOG"
