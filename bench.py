@@ -170,8 +170,12 @@ def relay_reachable(timeout_s: float = 2.0) -> bool:
     import socket
 
     ips = os.environ.get("PALLAS_AXON_POOL_IPS", "")
-    if not ips or os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
-        return True  # not routed through the relay (e.g. CPU test runs)
+    if not ips:
+        return True  # axon client not registered: import jax cannot hang
+    # NOTE: no JAX_PLATFORMS exemption (ADVICE r4) — sitecustomize's
+    # axon.register() retries on import REGARDLESS of JAX_PLATFORMS (a dead
+    # relay hangs even JAX_PLATFORMS=cpu while the pool IPs are set); the
+    # only safe bypass is unsetting PALLAS_AXON_POOL_IPS.
     host = ips.split(",")[0].strip()
     for port in (8082, 8083, 8117):
         try:

@@ -30,6 +30,7 @@ gaps, iteration counts).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -40,6 +41,7 @@ from convex_optimization_tpu.core.objective import gap_from_parts, lambda_max
 from convex_optimization_tpu.solvers.common import SolverConfig
 from convex_optimization_tpu.solvers.lambda_path import PathResult
 from convex_optimization_tpu.ops.bcd_sweep_vpu import (
+    fits_hbm,
     pick_padded_block_size_vpu,
     to_tblock_major,
 )
@@ -57,6 +59,10 @@ class _BatchState(NamedTuple):
     X: jax.Array            # (n_blocks, L, B) iterates
     R: jax.Array            # (L, m) residuals
     X_best: jax.Array       # (n_blocks, L, B) best-certified iterates
+    R_best: jax.Array       # (L, m) EXACT residual at X_best (the gap
+                            # check refreshes R right before certifying, so
+                            # storing it here gives chunk warm starts a free
+                            # residual — no extra refresh program)
     best_gap: jax.Array     # (L,)
     best_rel: jax.Array     # (L,)
     best_primal: jax.Array  # (L,)
@@ -90,66 +96,41 @@ def _penalty_parts(kind: str, gsize: int, weights, X, Z):
     return base_val, base_dual
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("kind", "gsize", "cfg", "interpret"))
-def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, *, kind,
-                   gsize, cfg: SolverConfig, interpret):
-    """The single jitted batched-path program (no XLA dots anywhere).
-    x0 (n_blocks, B) / r0 (m,) warm-start every point (None = cold from 0:
-    the dense-grid chunking warm-starts chunk k+1 from chunk k's deepest
-    solution)."""
-    n_blocks, B, m = A_t.shape
-    L = lam1s.shape[0]
-    dtype = A_t.dtype
-
+def _init_batch_state(nb, B, m, L, b, x0, r0, dtype):
+    """Cold (zeros / -b) or warm (broadcast x0/r0 over L) initial state.
+    nb is shard-LOCAL under shard_map; x0 (nb, B) / r0 (m,)."""
     if x0 is None:
-        X0 = jnp.zeros((n_blocks, L, B), dtype)
+        X0 = jnp.zeros((nb, L, B), dtype)
         R0 = jnp.broadcast_to(-b[None, :], (L, m)).astype(dtype)
     else:
-        X0 = jnp.broadcast_to(x0[:, None, :], (n_blocks, L, B)).astype(dtype)
+        X0 = jnp.broadcast_to(x0[:, None, :], (nb, L, B)).astype(dtype)
         R0 = jnp.broadcast_to(r0[None, :], (L, m)).astype(dtype)
     inf = jnp.full((L,), jnp.inf, dtype)
-    state0 = _BatchState(
-        X=X0, R=R0, X_best=X0, best_gap=inf, best_rel=inf,
+    return _BatchState(
+        X=X0, R=R0, X_best=X0, R_best=R0, best_gap=inf, best_rel=inf,
         best_primal=inf, iters_done=jnp.zeros((L,), jnp.int32),
         since_best=jnp.zeros((L,), jnp.int32),
         k=jnp.zeros((), jnp.int32))
 
-    w_flat = (weights if kind == "group_l2"
-              else jnp.zeros((n_blocks, 1, 1), dtype))
 
-    def gap_check(X, R):
-        # exact refresh pins the incremental residual drift, then one
-        # batched witness pass; gap_from_parts broadcasts over (L,)
-        R = ax_minus_b_batch_t(A_t, X, b, interpret=interpret)
-        Z = neg_at_r_batch_t(A_t, R, X, lam2, interpret=interpret)
-        base_val, base_dual = _penalty_parts(kind, gsize, weights, X, Z)
-        rho_aug = (jnp.sum(R * R, axis=1)
-                   + lam2 * jnp.sum(X * X, axis=(0, 2)))
-        # <rho, b> = <b - Ax, b> = ||b||^2 - <r + b, b> = -<r, b>
-        rho_dot_b = -(R @ b)
-        info = gap_from_parts(
-            rho_dot_b=rho_dot_b,
-            rho_aug_sq=rho_aug,
-            g_value=lam1s * base_val,
-            dual_norm_value=base_dual / jnp.maximum(lam1s, 1e-30),
-        )
-        return R, info, rho_aug, base_val
+def _run_batched_loop(state0, lam1s, cfg: SolverConfig, sweep_once,
+                      gap_check):
+    """The batched-path while_loop shared by the single-chip and sharded
+    solvers: gap_every sweeps -> certify -> best-iterate tracking ->
+    cascade warm start.  sweep_once(X, R) -> (X, R);
+    gap_check(X, R) -> (R_exact, GapInfo over (L,), rho_aug, base_val)."""
+    L = lam1s.shape[0]
 
     def body(state):
-        def sweep(_, carry):
-            X, R = carry
-            return batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2,
-                                   kind=kind, gsize=gsize,
-                                   weights=w_flat, interpret=interpret)
-
-        X, R = jax.lax.fori_loop(0, cfg.gap_every, sweep,
-                                 (state.X, state.R))
+        X, R = jax.lax.fori_loop(
+            0, cfg.gap_every, lambda _, c: sweep_once(*c),
+            (state.X, state.R))
         R, info, rho_aug, base_val = gap_check(X, R)
         k = state.k + cfg.gap_every
         improved = info.rel_gap < state.best_rel
         sel = improved[None, :, None]
         X_best = jnp.where(sel, X, state.X_best)
+        R_best = jnp.where(improved[:, None], R, state.R_best)
         best_rel = jnp.where(improved, info.rel_gap, state.best_rel)
         best_gap = jnp.where(improved, info.gap, state.best_gap)
         best_primal = jnp.where(improved, info.primal, state.best_primal)
@@ -177,7 +158,8 @@ def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, *, kind,
         R = jnp.where(adopt[:, None],
                       jnp.concatenate([R[:1], R[:-1]], axis=0), R)
 
-        return _BatchState(X=X, R=R, X_best=X_best, best_gap=best_gap,
+        return _BatchState(X=X, R=R, X_best=X_best, R_best=R_best,
+                           best_gap=best_gap,
                            best_rel=best_rel, best_primal=best_primal,
                            iters_done=iters_done, since_best=since_best,
                            k=k)
@@ -193,6 +175,221 @@ def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, *, kind,
     return jax.lax.while_loop(cond, body, state0)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "gsize", "cfg", "interpret"))
+def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, *, kind,
+                   gsize, cfg: SolverConfig, interpret):
+    """The single jitted batched-path program (no XLA dots anywhere).
+    x0 (n_blocks, B) / r0 (m,) warm-start every point (None = cold from 0:
+    the dense-grid chunking warm-starts chunk k+1 from chunk k's deepest
+    solution)."""
+    n_blocks, B, m = A_t.shape
+    L = lam1s.shape[0]
+    dtype = A_t.dtype
+    state0 = _init_batch_state(n_blocks, B, m, L, b, x0, r0, dtype)
+    w_flat = (weights if kind == "group_l2"
+              else jnp.zeros((n_blocks, 1, 1), dtype))
+
+    def sweep_once(X, R):
+        return batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2,
+                               kind=kind, gsize=gsize,
+                               weights=w_flat, interpret=interpret)
+
+    def gap_check(X, R):
+        # exact refresh pins the incremental residual drift, then one
+        # batched witness pass; gap_from_parts broadcasts over (L,)
+        R = ax_minus_b_batch_t(A_t, X, b, interpret=interpret)
+        Z = neg_at_r_batch_t(A_t, R, X, lam2, interpret=interpret)
+        base_val, base_dual = _penalty_parts(kind, gsize, weights, X, Z)
+        rho_aug = (jnp.sum(R * R, axis=1)
+                   + lam2 * jnp.sum(X * X, axis=(0, 2)))
+        # <rho, b> = <b - Ax, b> = ||b||^2 - <r + b, b> = -<r, b>
+        rho_dot_b = -(R @ b)
+        info = gap_from_parts(
+            rho_dot_b=rho_dot_b,
+            rho_aug_sq=rho_aug,
+            g_value=lam1s * base_val,
+            dual_norm_value=base_dual / jnp.maximum(lam1s, 1e-30),
+        )
+        return R, info, rho_aug, base_val
+
+    return _run_batched_loop(state0, lam1s, cfg, sweep_once, gap_check)
+
+
+def _base_val_diff(kind: str, gsize: int, weights, X, Xn):
+    """Per-lambda base-penalty difference sum(base(Xn) - base(X)), reduced
+    elementwise-diff-then-sum: an f32 difference of two large sums cancels
+    catastrophically and deadlocks the sharded line search (the
+    sharded_bcd value_diff note, parallel/sharded.py)."""
+    if kind == "l1":
+        return jnp.sum(jnp.abs(Xn) - jnp.abs(X), axis=(0, 2))
+    if kind == "nonneg_l1":
+        return jnp.sum(Xn - X, axis=(0, 2))         # X, Xn >= 0 by prox
+    nb, L, B = X.shape
+    gpb = B // gsize
+    w = weights.reshape(nb, 1, gpb)
+    gn_n = jnp.sqrt(jnp.sum(Xn.reshape(nb, L, gpb, gsize) ** 2, axis=3))
+    gn_o = jnp.sqrt(jnp.sum(X.reshape(nb, L, gpb, gsize) ** 2, axis=3))
+    return jnp.sum(w * (gn_n - gn_o), axis=(0, 2))
+
+
+def _setup_sharded(problem: Problem, cfg: SolverConfig, mesh, B: int,
+                   n_blocks: int, multiple: int, interpret: bool):
+    """Column-sharded batched-path programs (VERDICT r4 Next #5).
+
+    Layout: A_t slabs (nb_loc, B, m) one per chip over mesh axis 'blocks';
+    X / X_best shard with the blocks; R / R_best (L, m) replicated.  Each
+    sweep every chip streams its OWN slab once for ALL L grid points
+    (Gauss-Seidel within the slab), then one (L, m) psum merges the
+    residual deltas.  Summing the chips' deltas is Jacobi across chips and
+    can overshoot when slabs correlate, so the merged direction gets the
+    same exact per-lambda line search + 1/p Jacobi floor as sharded_bcd
+    (parallel/sharded.py) — monotone descent per point, gamma -> 1 as
+    cross-chip interference vanishes.  Everything stays kernel-routed: the
+    per-chip sweep/refresh/witness/power-iteration programs are the batch
+    kernels on the local slab; no full-size XLA dot anywhere."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from convex_optimization_tpu.parallel.mesh import BLOCKS
+
+    n_shards = mesh.shape[BLOCKS]
+    kind = problem.penalty.kind
+    lam2 = problem.lam2
+    dtype = problem.dtype
+    m = problem.m
+
+    A_t = jax.device_put(to_tblock_major(problem.A, n_blocks),
+                         NamedSharding(mesh, P(BLOCKS, None, None)))
+    b = jax.device_put(problem.b, NamedSharding(mesh, P()))
+    # per-block Lipschitz via the in-kernel power iteration, run per chip
+    # on its own slab under shard_map (block Lipschitz is block-local)
+    blockL = jax.jit(jax.shard_map(
+        lambda a: block_power_t(a, interpret=interpret),
+        mesh=mesh, in_specs=P(BLOCKS, None, None),
+        out_specs=P(BLOCKS), check_vma=False))(A_t)
+    steps = (cfg.step_scale / (blockL + lam2)).astype(dtype)
+    weights = None
+    if kind == "group_l2":
+        weights = jax.device_put(
+            problem.penalty._gweights(dtype).reshape(n_blocks, 1,
+                                                     B // multiple),
+            NamedSharding(mesh, P(BLOCKS, None, None)))
+
+    bspec = P(BLOCKS, None, None)
+    sspec = _BatchState(
+        X=bspec, R=P(), X_best=bspec, R_best=P(), best_gap=P(),
+        best_rel=P(), best_primal=P(), iters_done=P(), since_best=P(),
+        k=P())
+    w_spec = bspec if kind == "group_l2" else P()
+    w_dummy = (weights if weights is not None
+               else jnp.zeros((1, 1, 1), dtype))
+
+    def local_solve(A_loc, b, lam1s, steps_loc, w_loc, x0_loc, r0):
+        nb_loc = A_loc.shape[0]
+        L = lam1s.shape[0]
+        w_pen = w_loc if kind == "group_l2" else None
+        zeros_b = jnp.zeros((m,), dtype)
+        state0 = _init_batch_state(nb_loc, B, m, L, b, x0_loc, r0, dtype)
+
+        def sweep_once(X, R):
+            Xn, Rv = batch_sweep_vpu(A_loc, X, R, steps_loc, lam1s,
+                                     lam2, kind=kind, gsize=multiple,
+                                     weights=w_pen, interpret=interpret)
+            dX = Xn - X
+            dR = lax.psum(Rv - R, BLOCKS)                        # (L, m)
+            # exact per-lambda line search on the aggregated direction
+            # (same derivation as sharded_bcd, per path point): for
+            # gamma in [0,1], P_l(X + g dX) <= 0.5||R_l + g dR_l||^2
+            # (+ lam2 part) + (1-g) G_l(X) + g G_l(Xn), minimized in
+            # closed form; floor at 1/p = always-monotone Jacobi average
+            lin = (jnp.sum(R * dR, axis=1)
+                   + lam2 * lax.psum(jnp.sum(X * dX, axis=(0, 2)), BLOCKS))
+            den = (jnp.sum(dR * dR, axis=1)
+                   + lam2 * lax.psum(jnp.sum(dX * dX, axis=(0, 2)), BLOCKS))
+            dG = lam1s * lax.psum(
+                _base_val_diff(kind, multiple, w_pen, X, Xn), BLOCKS)
+            gamma_ls = jnp.clip(-(lin + dG) / jnp.maximum(den, 1e-30),
+                                0.0, 1.0)
+            gamma = jnp.maximum(gamma_ls, 1.0 / n_shards)
+            return X + gamma[None, :, None] * dX, R + gamma[:, None] * dR
+
+        def gap_check(X, R):
+            # exact refresh: per-chip partial A_loc X_loc (b = 0 in the
+            # kernel), one (L, m) psum, THEN subtract b exactly once
+            Rp = ax_minus_b_batch_t(A_loc, X, zeros_b, interpret=interpret)
+            R = lax.psum(Rp, BLOCKS) - b[None, :]
+            Z = neg_at_r_batch_t(A_loc, R, X, lam2, interpret=interpret)
+            bv_loc, bd_loc = _penalty_parts(kind, multiple, w_pen, X, Z)
+            base_val = lax.psum(bv_loc, BLOCKS)
+            base_dual = lax.pmax(bd_loc, BLOCKS)
+            rho_aug = (jnp.sum(R * R, axis=1)
+                       + lam2 * lax.psum(jnp.sum(X * X, axis=(0, 2)),
+                                         BLOCKS))
+            rho_dot_b = -(R @ b)
+            info = gap_from_parts(
+                rho_dot_b=rho_dot_b,
+                rho_aug_sq=rho_aug,
+                g_value=lam1s * base_val,
+                dual_norm_value=base_dual / jnp.maximum(lam1s, 1e-30),
+            )
+            return R, info, rho_aug, base_val
+
+        return _run_batched_loop(state0, lam1s, cfg, sweep_once, gap_check)
+
+    programs: dict = {}
+
+    def solve_chunk(lam_c, x_warm, r_warm):
+        Lc = int(lam_c.shape[0])
+        warm = x_warm is not None
+        key = (Lc, warm)
+        if key not in programs:
+            if warm:
+                fn = local_solve
+                in_specs = (bspec, P(), P(), P(BLOCKS), w_spec,
+                            P(BLOCKS, None), P())
+            else:
+                def fn(A_loc, b_, lam1s, steps_loc, w_loc):
+                    return local_solve(A_loc, b_, lam1s, steps_loc, w_loc,
+                                       None, None)
+                in_specs = (bspec, P(), P(), P(BLOCKS), w_spec)
+            # check_vma=False: pallas_call out_shapes carry no vma, so the
+            # VMA checker rejects ANY kernel inside shard_map; the sharded
+            # == unsharded equivalence test is the correctness guard (same
+            # rule as sharded_bcd's kernel modes)
+            programs[key] = jax.jit(jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=sspec,
+                check_vma=False))
+        args = (A_t, b, lam_c, steps, w_dummy)
+        if warm:
+            args = args + (x_warm, r_warm)
+        return programs[key](*args)
+
+    return solve_chunk
+
+
+def _batch_gate_reason(problem: Problem, picked, chunk: int,
+                       n_shards: int = 1) -> str | None:
+    """None when the batched kernels can run; else a human-readable reason
+    (VERDICT r4 Weak #4: gate failures must be observable)."""
+    n_loc = problem.n // n_shards
+    if picked is None or picked[1] != 0:
+        return (f"no pad-free VPU block size for (m={problem.m}, "
+                f"n={problem.n})")
+    if not eligible_vpu_batch(problem.m, n_loc, picked[0], chunk,
+                              problem.dtype):
+        return (f"eligible_vpu_batch failed for (m={problem.m}, "
+                f"n_local={n_loc}, B={picked[0]}, L={chunk}, "
+                f"dtype={jnp.dtype(problem.dtype).name})")
+    # the hoisted A_t is a second persistent full-size copy next to A
+    # (ADVICE r4: eligible_vpu_batch models VMEM only — a 6.5-13 GiB A
+    # passes it and OOMs the 16 GiB chip at transfer time)
+    if not fits_hbm(problem.m, n_loc, problem.dtype, copies=2):
+        return (f"A + hoisted A_t exceed the per-chip HBM budget "
+                f"(m={problem.m}, n_local={n_loc})")
+    return None
+
+
 def batched_lambda_path(
     problem: Problem,
     cfg: SolverConfig,
@@ -201,12 +398,19 @@ def batched_lambda_path(
     lam_min_frac: float = 0.01,
     lambdas: jax.Array | None = None,
     interpret: bool | None = None,
+    mesh: jax.sharding.Mesh | None = None,
 ) -> PathResult:
     """Solve the whole lambda grid simultaneously; see module docstring.
 
     Falls back to the sequential ``lambda_path`` when the batched kernel
-    gate fails (non-f32 dtype, no pad-free block size, L > MAX_BATCH, or
-    VMEM-infeasible (B, m))."""
+    gate fails (non-f32 dtype, no pad-free block size, L > MAX_BATCH,
+    VMEM-infeasible (B, m), or A + A_t past the HBM budget) — with a
+    warning, and ``PathResult.method_used`` records the solver that
+    actually ran.
+
+    With ``mesh`` the grid runs column-sharded (one A_t slab per chip,
+    every chip streams its slab once per sweep for ALL grid points, one
+    (L, m) psum consensus per sweep)."""
     if lambdas is None:
         lmax = lambda_max(problem.A, problem.b, problem.penalty)
         lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
@@ -225,53 +429,75 @@ def batched_lambda_path(
     # number of distinct program shapes at <= 2 (body chunks + remainder)
     n_chunks = -(-L // MAX_BATCH)
     chunk = -(-L // n_chunks)
-    ok = (picked is not None and picked[1] == 0
-          and eligible_vpu_batch(problem.m, problem.n, picked[0],
-                                 min(L, chunk), problem.dtype))
-    if not ok:
+
+    n_shards = 1
+    if mesh is not None:
+        from convex_optimization_tpu.parallel.mesh import BLOCKS
+
+        n_shards = mesh.shape[BLOCKS]
+
+    reason = _batch_gate_reason(problem, picked, min(L, chunk), n_shards)
+    if reason is None and picked is not None \
+            and (problem.n // picked[0]) % n_shards != 0:
+        reason = (f"n_blocks={problem.n // picked[0]} does not divide over "
+                  f"{n_shards} shards")
+    if reason is not None:
+        warnings.warn(
+            f"bcd_batch gate failed ({reason}); falling back to the "
+            f"sequential bcd_pallas path — PathResult.method_used records "
+            f"the substitution", stacklevel=2)
         from convex_optimization_tpu.solvers.lambda_path import lambda_path
 
         return lambda_path(problem, cfg, lambdas=lambdas,
-                           method="bcd_pallas")
+                           method="bcd_pallas", mesh=mesh)
 
     B = picked[0]
     n_blocks = problem.n // B
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    A_t = to_tblock_major(problem.A, n_blocks)
-    block_L = block_power_t(A_t, interpret=interpret)
-    steps = (cfg.step_scale / (block_L + problem.lam2)).astype(problem.dtype)
-    weights = None
-    if problem.penalty.kind == "group_l2":
-        weights = problem.penalty._gweights(problem.dtype).reshape(
-            n_blocks, 1, B // multiple)
+    if mesh is not None:
+        solve_chunk = _setup_sharded(problem, cfg, mesh, B, n_blocks,
+                                     multiple, interpret)
+    else:
+        A_t = to_tblock_major(problem.A, n_blocks)
+        block_L = block_power_t(A_t, interpret=interpret)
+        steps = (cfg.step_scale / (block_L + problem.lam2)).astype(
+            problem.dtype)
+        weights = None
+        if problem.penalty.kind == "group_l2":
+            weights = problem.penalty._gweights(problem.dtype).reshape(
+                n_blocks, 1, B // multiple)
+
+        def solve_chunk(lam_c, x_warm, r_warm):
+            return _solve_batched(
+                A_t, problem.b, lam_c, problem.lam2, steps, weights,
+                x_warm, r_warm, kind=problem.penalty.kind, gsize=multiple,
+                cfg=cfg, interpret=interpret)
 
     xs_parts, gaps_parts, iters_parts = [], [], []
     x_warm = r_warm = None
     for c0 in range(0, L, chunk):
         lam_c = lambdas[c0:c0 + chunk]
-        final = _solve_batched(A_t, problem.b, lam_c, problem.lam2, steps,
-                               weights, x_warm, r_warm,
-                               kind=problem.penalty.kind,
-                               gsize=multiple, cfg=cfg, interpret=interpret)
+        final = solve_chunk(lam_c, x_warm, r_warm)
         Lc = lam_c.shape[0]
         xs_parts.append(final.X_best.transpose(1, 0, 2).reshape(
             Lc, problem.n))
         gaps_parts.append(final.best_rel)
         iters_parts.append(final.iters_done)
         if c0 + chunk < L:
-            from convex_optimization_tpu.ops.matvec_pallas import (
-                ax_minus_b_t,
-            )
-
+            # warm-start the next chunk at the deepest certified point;
+            # R_best is that point's EXACT refreshed residual (no extra
+            # program)
             x_warm = final.X_best[:, Lc - 1, :]
-            r_warm = ax_minus_b_t(A_t, x_warm.reshape(problem.n),
-                                  problem.b, interpret=interpret)
+            r_warm = final.R_best[Lc - 1]
 
+    gaps = jnp.concatenate(gaps_parts)
     return PathResult(
         lambdas=lambdas,
         xs=jnp.concatenate(xs_parts, axis=0),
-        gaps=jnp.concatenate(gaps_parts),
+        gaps=gaps,
         iters=jnp.concatenate(iters_parts),
+        method_used="bcd_batch" if mesh is None else "bcd_batch+sharded",
+        converged=gaps <= cfg.tol,
     )

@@ -144,15 +144,20 @@ def test_batched_path_matches_sequential(kind, ngroups):
 
 def test_batched_path_fallback_on_ineligible():
     # f64 problems fail the gate and must fall back to the sequential path
+    # LOUDLY: a warning naming the reason, and method_used recording the
+    # substituted solver (VERDICT r4 Weak #4)
     from convex_optimization_tpu.solvers.batched_path import (
         batched_lambda_path,
     )
 
     inst = make_lasso_instance(KEY, 64, 256, dtype=jnp.float64)
     cfg = SolverConfig(tol=1e-8, max_iters=2000)
-    res = batched_lambda_path(inst.problem, cfg, path_len=4)
+    with pytest.warns(UserWarning, match="bcd_batch gate failed"):
+        res = batched_lambda_path(inst.problem, cfg, path_len=4)
+    assert res.method_used == "bcd_pallas"
     assert res.xs.shape == (4, 256)
     assert np.all(np.asarray(res.gaps) <= 1e-7)
+    assert np.all(np.asarray(res.converged))
 
 
 def test_batched_path_dense_grid_chunks():
@@ -202,3 +207,114 @@ def test_cv_with_batched_method():
                          method="bcd_batch")
     assert res.val_mse.shape == (3, 5)
     assert np.all(np.isfinite(np.asarray(res.mean_mse)))
+
+
+def _mesh8():
+    from convex_optimization_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("kind,ngroups", [("l1", 0), ("group_l2", 128)])
+def test_batched_path_sharded_matches_unsharded(kind, ngroups):
+    """Column-sharded batched grid == single-device batched grid (VERDICT
+    r4 Next #5): same certified solutions, sharded certificates no worse
+    than ~the unsharded ones (Jacobi damping may stall the deepest point a
+    hair above tol at the f32 floor)."""
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(jax.random.PRNGKey(5), 128, 1024,
+                               penalty_kind=kind, ngroups=ngroups)
+    cfg = SolverConfig(tol=1e-6, max_iters=6000, gap_every=10,
+                       stall_checks=20)
+    sh = batched_lambda_path(inst.problem, cfg, path_len=4,
+                             lam_min_frac=0.1, mesh=_mesh8())
+    un = batched_lambda_path(inst.problem, cfg, path_len=4,
+                             lam_min_frac=0.1)
+    assert sh.method_used == "bcd_batch+sharded"
+    assert un.method_used == "bcd_batch"
+    assert np.all(np.asarray(sh.gaps)
+                  <= np.maximum(1e-5, 3.0 * np.asarray(un.gaps)))
+    np.testing.assert_allclose(np.asarray(sh.xs), np.asarray(un.xs),
+                               atol=1e-3)
+
+
+def test_batched_path_sharded_chunked_warm():
+    """Grids past MAX_BATCH exercise the warm-started sharded program (a
+    second shard_map program shape) and stay certified."""
+    from convex_optimization_tpu.solvers.batched_path import (
+        MAX_BATCH,
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(jax.random.PRNGKey(6), 32, 1024)
+    p = inst.problem
+    cfg = SolverConfig(tol=1e-4, max_iters=3000, gap_every=10,
+                       stall_checks=20)
+    L = MAX_BATCH + 2
+    lmax = float(jnp.max(jnp.abs(p.A.T @ p.b)))
+    grid = jnp.geomspace(0.95 * lmax, 0.1 * lmax, L)
+    res = batched_lambda_path(p, cfg, lambdas=grid, mesh=_mesh8())
+    assert res.method_used == "bcd_batch+sharded"
+    assert res.xs.shape == (L, 1024)
+    assert np.all(np.asarray(res.converged))
+
+
+def test_batched_path_sharded_indivisible_falls_back():
+    """n_blocks that don't divide over the mesh fall back LOUDLY to the
+    sharded sequential path."""
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(jax.random.PRNGKey(8), 64, 256)
+    cfg = SolverConfig(tol=1e-4, max_iters=1500, gap_every=10,
+                       stall_checks=15)
+    # n=256, B=128 -> n_blocks=2, not divisible over 8 shards
+    with pytest.warns(UserWarning, match="bcd_batch gate failed"):
+        res = batched_lambda_path(inst.problem, cfg, path_len=3,
+                                  mesh=_mesh8())
+    assert res.method_used == "bcd_pallas+sharded"
+    assert res.xs.shape == (3, 256)
+
+
+def test_bcd_batch_compact_raises():
+    """compact=True + method='bcd_batch' is a contradiction and must fail
+    loudly (ADVICE r4), not silently run the compacting FISTA path."""
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    with pytest.raises(ValueError, match="bcd_batch"):
+        lambda_path(inst.problem, SolverConfig(), path_len=3,
+                    method="bcd_batch", compact=True)
+
+
+def test_sharded_path_unknown_method_raises():
+    """mesh= with an unsupported method must raise, not silently run
+    sharded FISTA (ADVICE r4)."""
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    with pytest.raises(ValueError, match="sharded lambda_path"):
+        lambda_path(inst.problem, SolverConfig(), path_len=3,
+                    method="admm", mesh=_mesh8())
+
+
+def test_path_result_records_method_and_convergence():
+    """Every lambda_path route must stamp method_used + per-point
+    converged flags (VERDICT r4 Weak #4)."""
+    from convex_optimization_tpu.solvers.lambda_path import lambda_path
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    cfg = SolverConfig(tol=1e-5, max_iters=3000, gap_every=10,
+                       stall_checks=15)
+    for method, expect in [("bcd_pallas", "bcd_pallas"),
+                           ("fista", "fista"),
+                           ("bcd_batch", "bcd_batch")]:
+        res = lambda_path(inst.problem, cfg, path_len=3,
+                          lam_min_frac=0.1, method=method)
+        assert res.method_used == expect, method
+        assert res.converged is not None and res.converged.shape == (3,)
+        assert np.all(np.asarray(res.converged)), method

@@ -31,14 +31,20 @@ def test_bench_fails_fast_and_structured_on_dead_relay():
     assert row["metric"].startswith("time_to_certified_")
 
 
-def test_bench_probe_ignores_non_relay_backends():
+def test_bench_probe_gates_on_pool_ips_not_platform():
     from bench import relay_reachable
 
     old = dict(os.environ)
     try:
+        # ADVICE r4: a dead relay hangs `import jax` even under
+        # JAX_PLATFORMS=cpu while PALLAS_AXON_POOL_IPS is set — the probe
+        # must fire whenever the pool IPs are configured, whatever the
+        # platform string says
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["PALLAS_AXON_POOL_IPS"] = "127.41.42.43"
-        assert relay_reachable()   # CPU runs never gate on the relay
+        assert not relay_reachable()
+        os.environ["JAX_PLATFORMS"] = "axon,cpu"
+        assert not relay_reachable()
         os.environ.pop("PALLAS_AXON_POOL_IPS")
         os.environ["JAX_PLATFORMS"] = "axon"
         assert relay_reachable()   # no pool IPs configured -> no gate
