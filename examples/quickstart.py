@@ -19,10 +19,12 @@ from convex_optimization_tpu.solvers import SolverConfig, cv_lambda_path
 from convex_optimization_tpu.solvers.lambda_path import lambda_path
 
 
-def main():
+def main(small: bool = False):
     # synthetic problem: dense Gaussian A, planted 5% support, small noise
+    # (--small: CI-twin sizes so the smoke test stays cheap)
+    m, n, path_len, k = (96, 384, 4, 3) if small else (400, 1600, 8, 5)
     inst = co.datagen.make_lasso_instance(jax.random.PRNGKey(0),
-                                          m=400, n=1600, noise_std=0.02)
+                                          m=m, n=n, noise_std=0.02)
     problem = inst.problem
 
     # 1. one solve; certify=True finishes with the f64 polish phase when
@@ -38,13 +40,14 @@ def main():
     # 2. a warm-started lambda path (one compiled program, lambda is data);
     #    method='bcd_batch' solves every point against one shared A stream
     cfg = SolverConfig(tol=1e-6, max_iters=5000, stall_checks=15)
-    path = lambda_path(problem, cfg, path_len=8, method="bcd_batch")
+    path = lambda_path(problem, cfg, path_len=path_len,
+                       method="bcd_batch")
     print("path:  " + "  ".join(
         f"lam={float(l):.3g}:nnz={int((x != 0).sum())}"
         for l, x in zip(path.lambdas, path.xs)))
 
     # 3. pick lambda by 5-fold cross-validation (min-MSE and 1-SE rule)
-    cv = cv_lambda_path(problem, cfg, k=5, path_len=8)
+    cv = cv_lambda_path(problem, cfg, k=k, path_len=path_len)
     print(f"cv:    best_lambda={cv.best_lambda:.4g} "
           f"(mse={float(cv.mean_mse[cv.best_index]):.4g}), "
           f"1-SE lambda={cv.one_se_lambda:.4g}, "
@@ -52,4 +55,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(small="--small" in sys.argv)
