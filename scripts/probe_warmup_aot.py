@@ -30,7 +30,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_co_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-M = int(os.environ.get("WARMUP_M", 2_500))
+# m must be sublane-aligned (m % 8 == 0) for the VPU kernels — 2500 made
+# pick_padded_block_size_vpu return None (r5 battery first run)
+M = int(os.environ.get("WARMUP_M", 2_496))
 N = int(os.environ.get("WARMUP_N", 25_000))
 
 _T0 = time.perf_counter()
@@ -52,7 +54,10 @@ def main():
     inst = make_lasso_instance(jax.random.PRNGKey(0), M, N)
     A = inst.problem.A
     b = inst.problem.b
-    bs, pad = pick_padded_block_size_vpu(M, N, 128)
+    picked = pick_padded_block_size_vpu(M, N, 128)
+    assert picked is not None, (
+        f"no eligible VPU block for (m={M}, n={N}) — m % 8 == 0 required")
+    bs, pad = picked
     assert pad == 0, "pick a pad-free size"
     A_t = to_tblock_major(A, N // bs)
     x = jnp.ones((N,), jnp.float32) / N
