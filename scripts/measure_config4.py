@@ -12,6 +12,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.setswitchinterval(0.001)
 
 M = int(os.environ.get("C4_M", 10_000))
