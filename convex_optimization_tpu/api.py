@@ -338,8 +338,13 @@ def solve(
         # round 1) while silently burning max_iters.  Pass admm_force=True
         # to run anyway (e.g. for well-conditioned A or loose tolerances),
         # or admm_setup='host' for the host-f64 eigendecomposition path
-        # (admm_setup_host: f32 loop unchanged, f64-accurate eigenbasis —
-        # the round-3 attempt at lifting the fence, VERDICT r2 #8).
+        # (admm_setup_host: f32 loop unchanged, f64-accurate eigenbasis).
+        # The host-setup exemption is MEASURED at scale (r5 battery,
+        # scripts/measure_admm_scale.py, 10k x 100k): solve 6.3 s /
+        # 490 iters, f64 polish certifies 4.9e-7 — the f32 gap MONITOR
+        # still reads ~1.3e-2 at that scale (an f32-witness artifact, not
+        # a stall: the iterate itself is 1e-6-grade), so certification
+        # must come from the polish phase, as solve() does by default.
         if (min(problem.m, problem.n) > ADMM_FENCE_DIM and not admm_force
                 and admm_setup_mode != "host"):
             import warnings

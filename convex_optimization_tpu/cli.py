@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="fista",
                    choices=["fista", "ista", "bcd", "bcd_pallas", "admm",
                             "fista_ws", "bcd_ws", "bcd_batch"])
+    p.add_argument("--cv-method", default="bcd_batch",
+                   choices=["bcd_batch", "fista", "ista", "bcd",
+                            "bcd_pallas"],
+                   help="solver for --cv fold paths (bcd_batch = "
+                        "kernel-routed folds sharing one resident A; "
+                        "measured 2x the sequential path in the r5 "
+                        "config-2 bake-off)")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iters", type=int, default=10_000)
     p.add_argument("--gap-every", type=int, default=10)
@@ -192,11 +199,11 @@ def main(argv=None) -> int:
         with M.WallTimer() as t:
             cvres = cv_lambda_path(
                 problem, scfg, k=args.cv, path_len=lambda_path or 10,
-                seed=args.seed,
-                method=args.method if args.method != "fista" else "fista")
+                seed=args.seed, method=args.cv_method)
             float(jnp.sum(cvres.mean_mse))   # value-fetch barrier
         out = {
             "name": name, "mode": "cv", "k": args.cv,
+            "method_used": cvres.method_used,
             "wall_s": float(t),
             "lambdas": [float(v) for v in cvres.lambdas],
             "mean_mse": [float(v) for v in cvres.mean_mse],

@@ -21,7 +21,7 @@ from convex_optimization_tpu.models.penalties import Penalty, l1
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["A", "b", "penalty", "lam2"],
-    meta_fields=[],
+    meta_fields=["shape_override"],
 )
 @dataclasses.dataclass(frozen=True)
 class Problem:
@@ -31,20 +31,29 @@ class Problem:
     b: (m,) observations
     penalty: nonsmooth part g (lasso / nonneg / group)
     lam2: ridge coefficient of the smooth part (elastic net when > 0)
+    shape_override: static (m, n) override for AUDIT-PLACEHOLDER problems —
+        kernel-routed compact solves (solvers/working_set.py) must never
+        trace ``A``, so they carry a tiny NaN stand-in for it; the
+        override keeps ``.m``/``.n`` correct without the placeholder
+        costing a full-size (m, k) HBM buffer (a real OOM at the 10k×100k
+        headline, r5 battery first run).  A program that does trace the
+        stand-in fails loudly: shape mismatch at trace time, NaN results
+        if shapes happen to broadcast.
     """
 
     A: jax.Array
     b: jax.Array
     penalty: Penalty
     lam2: jax.typing.ArrayLike = 0.0
+    shape_override: tuple | None = None
 
     @property
     def m(self) -> int:
-        return self.A.shape[0]
+        return (self.shape_override or self.A.shape)[0]
 
     @property
     def n(self) -> int:
-        return self.A.shape[1]
+        return (self.shape_override or self.A.shape)[1]
 
     @property
     def dtype(self):

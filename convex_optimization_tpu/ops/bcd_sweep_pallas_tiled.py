@@ -209,7 +209,9 @@ def bcd_sweep_pallas_tiled(
     ``A_blocks = to_block_major(problem.A, n_blocks)`` when sweeping in a
     loop so the one-time relayout is hoisted out (solvers/bcd.py does)."""
     A, lam2, penalty = problem.A, problem.lam2, problem.penalty
-    m, n = A.shape
+    # problem.m/n, NOT A.shape: compact working-set problems carry a tiny
+    # audit stand-in for A with a static shape_override (core/problem.py)
+    m, n = problem.m, problem.n
     n_blocks = block_L.shape[0]
     if n % n_blocks != 0:
         raise ValueError(f"n={n} not divisible by n_blocks={n_blocks}")

@@ -53,30 +53,33 @@ MAX_BATCH = 16  # VPU stays under ~2L flops/byte headroom; VMEM model below
 
 
 def fits_vmem_vpu_batch(m: int, block: int, L: int,
-                        dtype=jnp.float32) -> bool:
+                        dtype=jnp.float32, masked: bool = False) -> bool:
     """VMEM model: double-buffered (B, m) A block, (L, m) residual rows
     in + out (sublane-padded to 8), the (B, chunk) product temporaries
-    (charge 2), and the small (L, B) per-step vectors (charge 4: x in/out,
-    v, dx)."""
+    (charge 2), the small (L, B) per-step vectors (charge 4: x in/out,
+    v, dx), and — with ``masked`` — one resident (1, m) row-mask
+    (sublane-padded to 8)."""
     if block <= 0 or L <= 0:
         return False
     itemsize = jnp.dtype(dtype).itemsize
     L8 = max(8, -(-L // 8) * 8)
     a_bytes = 2 * block * m * itemsize
     r_bytes = 2 * L8 * m * itemsize
+    if masked:
+        r_bytes += 8 * m * itemsize
     tmp = 2 * block * min(m, _LANE_CHUNK) * itemsize
     small = 4 * L8 * max(block, 128) * itemsize
     return a_bytes + r_bytes + tmp + small <= _VMEM_BUDGET_BYTES
 
 
 def eligible_vpu_batch(m: int, n: int, block: int, L: int,
-                       dtype=jnp.float32) -> bool:
+                       dtype=jnp.float32, masked: bool = False) -> bool:
     return (jnp.dtype(dtype) == jnp.float32
             and 1 <= L <= MAX_BATCH
             and block % 8 == 0 and block >= 8
             and n % block == 0
             and m % 8 == 0
-            and fits_vmem_vpu_batch(m, block, L, dtype))
+            and fits_vmem_vpu_batch(m, block, L, dtype, masked))
 
 
 def _tl_col(scalars_ref, t, L, offset):
@@ -87,10 +90,25 @@ def _tl_col(scalars_ref, t, L, offset):
 
 
 def _batch_kernel(kind: str, gsize: int, B: int, m: int, L: int,
-                  scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref,
-                  r_init_ref, x_out_ref, r_ref):
+                  masked: bool, *refs):
     """One Gauss-Seidel sweep step for block j, all L lambdas at once.
-    scalars = [lam2, lam1_0, ..., lam1_{L-1}]."""
+    scalars = [lam2, lam1_0, ..., lam1_{L-1}].
+
+    With ``masked``, a resident (1, m) row mask gates the phase-2 residual
+    update: r_l += rm * (A_j^T dx_l).  This is EXACTLY the sweep of the
+    row-masked problem (A_f = rm ⊙ A, b_f = rm ⊙ b) as long as the
+    residual rows come in masked — phase 1 then needs no change because
+    (rm ⊙ A_j) r = A_j (rm ⊙ r) = A_j r for an already-masked r, and
+    rm ∈ {0,1} makes the masked update bit-identical to sweeping a masked
+    COPY of A (0 or the very same f32 sum).  One (1, m) multiply per
+    chunk in VMEM replaces k full-size masked copies of A (K-fold CV)."""
+    if masked:
+        (scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref, rm_ref,
+         r_init_ref, x_out_ref, r_ref) = refs
+    else:
+        (scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref,
+         r_init_ref, x_out_ref, r_ref) = refs
+        rm_ref = None
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -147,16 +165,25 @@ def _batch_kernel(kind: str, gsize: int, B: int, m: int, L: int,
         dx_col = _t_row_to_col(dx[l:l + 1], B)      # (B, 1)
         for c0, c1 in _chunks(m):
             a = A_ref[0, :, c0:c1]
-            r_ref[l:l + 1, c0:c1] += jnp.sum(a * dx_col, axis=0,
-                                             keepdims=True)
+            upd = jnp.sum(a * dx_col, axis=0, keepdims=True)
+            if masked:
+                upd = rm_ref[:, c0:c1] * upd        # (1, c) row-mask gate
+            r_ref[l:l + 1, c0:c1] += upd
 
 
 def batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2, *, kind: str,
                     gsize: int = 1, weights=None, mask=None,
-                    interpret: bool | None = None):
+                    row_mask=None, interpret: bool | None = None):
     """One batched Gauss-Seidel sweep.  X (n_blocks, L, B), R (L, m);
     returns (X, R) updated.  steps (n_blocks,) shared across lambdas
-    (block Lipschitz is lambda-independent); lam1s (L,)."""
+    (block Lipschitz is lambda-independent); lam1s (L,).
+
+    ``row_mask`` ((m,), 0/1) sweeps the ROW-MASKED problem (rm ⊙ A,
+    rm ⊙ b) without materializing a masked copy of A: callers must pass
+    residual rows that are already masked (R = rm ⊙ (A x - b)); the
+    kernel gates its incremental residual updates with the mask so they
+    stay that way.  K-fold CV rides this: fold data is one (m,) vector,
+    A is shared by every fold."""
     n_blocks, B, m = A_t.shape
     L = X.shape[1]
     if interpret is None:
@@ -173,24 +200,33 @@ def batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2, *, kind: str,
         jnp.asarray([lam2], A_t.dtype),
         jnp.asarray(lam1s, A_t.dtype).reshape(-1)])
 
-    kernel = functools.partial(_batch_kernel, kind, gsize, B, m, L)
+    masked = row_mask is not None
+    kernel = functools.partial(_batch_kernel, kind, gsize, B, m, L, masked)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # steps
+        pl.BlockSpec((1, 1, w.shape[2]), lambda j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),               # weights
+        pl.BlockSpec((1, B, m), lambda j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),               # A_t stream
+        pl.BlockSpec((1, L, B), lambda j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),               # X_j
+        pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),               # mask_j
+    ]
+    operands = [scalars, steps, w, A_t, X, mask]
+    if masked:
+        in_specs.append(pl.BlockSpec((1, m), lambda j: (0, 0),
+                                     memory_space=pltpu.VMEM))  # row mask
+        operands.append(jnp.asarray(row_mask, A_t.dtype).reshape(1, m))
+    in_specs.append(pl.BlockSpec((L, m), lambda j: (0, 0),
+                                 memory_space=pltpu.VMEM))   # R init
+    operands.append(R)
+
     x_out, r_out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # scalars
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # steps
-            pl.BlockSpec((1, 1, w.shape[2]), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),               # weights
-            pl.BlockSpec((1, B, m), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),               # A_t stream
-            pl.BlockSpec((1, L, B), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),               # X_j
-            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),               # mask_j
-            pl.BlockSpec((L, m), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),               # R init
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, L, B), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),               # X out
@@ -208,7 +244,7 @@ def batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2, *, kind: str,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(scalars, steps, w, A_t, X, mask, R)
+    )(*operands)
     return x_out, r_out
 
 

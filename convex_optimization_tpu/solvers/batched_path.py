@@ -19,8 +19,12 @@ detection at the f32 floor.
 
 Every program in the solve is kernel-routed (batched sweep, batched exact
 refresh, batched witness, in-kernel block power iteration): no full-size
-XLA dot anywhere, so the whole thing compiles in seconds on the relay
-(CLAUDE.md round-2/3 rules).
+XLA dot anywhere.  Measured on hardware (r5 battery,
+scripts/validate_batch_kernels_tpu.py): the statically-L-unrolled Mosaic
+body compiles in 53.7 s at the production shape (m=10000, B=80, L=16) +
+11.0 s relay first-exec — heavier than the single-lambda kernels'
+1-10 s but paid once per (L, warm) shape; parity vs the single-lambda
+kernels is exact (0.0e+00) at every validated shape including L=16.
 
 Usage: ``batched_lambda_path(problem, cfg, path_len=10)`` — a drop-in for
 ``lambda_path`` returning the same PathResult shape (per-point solutions,
@@ -96,12 +100,17 @@ def _penalty_parts(kind: str, gsize: int, weights, X, Z):
     return base_val, base_dual
 
 
-def _init_batch_state(nb, B, m, L, b, x0, r0, dtype):
+def _init_batch_state(nb, B, m, L, b, x0, r0, dtype, rm=None):
     """Cold (zeros / -b) or warm (broadcast x0/r0 over L) initial state.
-    nb is shard-LOCAL under shard_map; x0 (nb, B) / r0 (m,)."""
+    nb is shard-LOCAL under shard_map; x0 (nb, B) / r0 (m,).  With a row
+    mask ``rm`` the cold residual is the MASKED -b (the masked-problem
+    invariant: residual rows stay rm ⊙ (Ax - b) throughout); a warm r0
+    must already be masked (it always is — it comes from a masked run's
+    R_best)."""
     if x0 is None:
         X0 = jnp.zeros((nb, L, B), dtype)
-        R0 = jnp.broadcast_to(-b[None, :], (L, m)).astype(dtype)
+        b_eff = b if rm is None else rm * b
+        R0 = jnp.broadcast_to(-b_eff[None, :], (L, m)).astype(dtype)
     else:
         X0 = jnp.broadcast_to(x0[:, None, :], (nb, L, B)).astype(dtype)
         R0 = jnp.broadcast_to(r0[None, :], (L, m)).astype(dtype)
@@ -177,28 +186,34 @@ def _run_batched_loop(state0, lam1s, cfg: SolverConfig, sweep_once,
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "gsize", "cfg", "interpret"))
-def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, *, kind,
-                   gsize, cfg: SolverConfig, interpret):
+def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, rm, *,
+                   kind, gsize, cfg: SolverConfig, interpret):
     """The single jitted batched-path program (no XLA dots anywhere).
     x0 (n_blocks, B) / r0 (m,) warm-start every point (None = cold from 0:
     the dense-grid chunking warm-starts chunk k+1 from chunk k's deepest
-    solution)."""
+    solution).  rm (m,) solves the ROW-MASKED problem (rm ⊙ A, rm ⊙ b)
+    against the same resident A — the mask gates the kernel's residual
+    updates and the refresh, and every gap quantity is then automatically
+    the masked problem's (R stays masked, so A^T R, ||R||^2 and R·b are
+    exactly the masked-problem values)."""
     n_blocks, B, m = A_t.shape
     L = lam1s.shape[0]
     dtype = A_t.dtype
-    state0 = _init_batch_state(n_blocks, B, m, L, b, x0, r0, dtype)
+    state0 = _init_batch_state(n_blocks, B, m, L, b, x0, r0, dtype, rm)
     w_flat = (weights if kind == "group_l2"
               else jnp.zeros((n_blocks, 1, 1), dtype))
 
     def sweep_once(X, R):
         return batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2,
-                               kind=kind, gsize=gsize,
-                               weights=w_flat, interpret=interpret)
+                               kind=kind, gsize=gsize, weights=w_flat,
+                               row_mask=rm, interpret=interpret)
 
     def gap_check(X, R):
         # exact refresh pins the incremental residual drift, then one
         # batched witness pass; gap_from_parts broadcasts over (L,)
         R = ax_minus_b_batch_t(A_t, X, b, interpret=interpret)
+        if rm is not None:
+            R = rm[None, :] * R       # rm⊙(AX - b): tiny fused (L, m) op
         Z = neg_at_r_batch_t(A_t, R, X, lam2, interpret=interpret)
         base_val, base_dual = _penalty_parts(kind, gsize, weights, X, Z)
         rho_aug = (jnp.sum(R * R, axis=1)
@@ -285,17 +300,19 @@ def _setup_sharded(problem: Problem, cfg: SolverConfig, mesh, B: int,
     w_dummy = (weights if weights is not None
                else jnp.zeros((1, 1, 1), dtype))
 
-    def local_solve(A_loc, b, lam1s, steps_loc, w_loc, x0_loc, r0):
+    def local_solve(A_loc, b, lam1s, steps_loc, w_loc, x0_loc, r0, rm):
         nb_loc = A_loc.shape[0]
         L = lam1s.shape[0]
         w_pen = w_loc if kind == "group_l2" else None
         zeros_b = jnp.zeros((m,), dtype)
-        state0 = _init_batch_state(nb_loc, B, m, L, b, x0_loc, r0, dtype)
+        state0 = _init_batch_state(nb_loc, B, m, L, b, x0_loc, r0, dtype,
+                                   rm)
 
         def sweep_once(X, R):
             Xn, Rv = batch_sweep_vpu(A_loc, X, R, steps_loc, lam1s,
                                      lam2, kind=kind, gsize=multiple,
-                                     weights=w_pen, interpret=interpret)
+                                     weights=w_pen, row_mask=rm,
+                                     interpret=interpret)
             dX = Xn - X
             dR = lax.psum(Rv - R, BLOCKS)                        # (L, m)
             # exact per-lambda line search on the aggregated direction
@@ -319,6 +336,8 @@ def _setup_sharded(problem: Problem, cfg: SolverConfig, mesh, B: int,
             # kernel), one (L, m) psum, THEN subtract b exactly once
             Rp = ax_minus_b_batch_t(A_loc, X, zeros_b, interpret=interpret)
             R = lax.psum(Rp, BLOCKS) - b[None, :]
+            if rm is not None:
+                R = rm[None, :] * R   # masked problem: R = rm⊙(AX - b)
             Z = neg_at_r_batch_t(A_loc, R, X, lam2, interpret=interpret)
             bv_loc, bd_loc = _penalty_parts(kind, multiple, w_pen, X, Z)
             base_val = lax.psum(bv_loc, BLOCKS)
@@ -339,37 +358,45 @@ def _setup_sharded(problem: Problem, cfg: SolverConfig, mesh, B: int,
 
     programs: dict = {}
 
-    def solve_chunk(lam_c, x_warm, r_warm):
+    def solve_chunk(lam_c, x_warm, r_warm, rm=None):
         Lc = int(lam_c.shape[0])
         warm = x_warm is not None
-        key = (Lc, warm)
+        masked = rm is not None
+        key = (Lc, warm, masked)
         if key not in programs:
-            if warm:
-                fn = local_solve
-                in_specs = (bspec, P(), P(), P(BLOCKS), w_spec,
-                            P(BLOCKS, None), P())
-            else:
-                def fn(A_loc, b_, lam1s, steps_loc, w_loc):
-                    return local_solve(A_loc, b_, lam1s, steps_loc, w_loc,
-                                       None, None)
-                in_specs = (bspec, P(), P(), P(BLOCKS), w_spec)
+            base = (bspec, P(), P(), P(BLOCKS), w_spec)
+            warm_specs = (P(BLOCKS, None), P()) if warm else ()
+            rm_specs = (P(),) if masked else ()
+
+            def fn(A_loc, b_, lam1s, steps_loc, w_loc, *rest):
+                x0_loc = r0 = rm_ = None
+                if warm:
+                    x0_loc, r0, *rest = rest
+                if masked:
+                    (rm_,) = rest
+                return local_solve(A_loc, b_, lam1s, steps_loc, w_loc,
+                                   x0_loc, r0, rm_)
+
             # check_vma=False: pallas_call out_shapes carry no vma, so the
             # VMA checker rejects ANY kernel inside shard_map; the sharded
             # == unsharded equivalence test is the correctness guard (same
             # rule as sharded_bcd's kernel modes)
             programs[key] = jax.jit(jax.shard_map(
-                fn, mesh=mesh, in_specs=in_specs, out_specs=sspec,
-                check_vma=False))
+                fn, mesh=mesh, in_specs=base + warm_specs + rm_specs,
+                out_specs=sspec, check_vma=False))
         args = (A_t, b, lam_c, steps, w_dummy)
         if warm:
             args = args + (x_warm, r_warm)
+        if masked:
+            args = args + (jnp.asarray(rm, dtype),)
         return programs[key](*args)
 
-    return solve_chunk
+    return solve_chunk, A_t
 
 
 def _batch_gate_reason(problem: Problem, picked, chunk: int,
-                       n_shards: int = 1) -> str | None:
+                       n_shards: int = 1,
+                       masked: bool = False) -> str | None:
     """None when the batched kernels can run; else a human-readable reason
     (VERDICT r4 Weak #4: gate failures must be observable)."""
     n_loc = problem.n // n_shards
@@ -377,7 +404,7 @@ def _batch_gate_reason(problem: Problem, picked, chunk: int,
         return (f"no pad-free VPU block size for (m={problem.m}, "
                 f"n={problem.n})")
     if not eligible_vpu_batch(problem.m, n_loc, picked[0], chunk,
-                              problem.dtype):
+                              problem.dtype, masked):
         return (f"eligible_vpu_batch failed for (m={problem.m}, "
                 f"n_local={n_loc}, B={picked[0]}, L={chunk}, "
                 f"dtype={jnp.dtype(problem.dtype).name})")
@@ -390,6 +417,81 @@ def _batch_gate_reason(problem: Problem, picked, chunk: int,
     return None
 
 
+class PreparedBatch(NamedTuple):
+    """One-time batched-solver setup, reusable across grids and row masks
+    (K-fold CV: ONE A_t hoist + block power iteration + program cache
+    serves all k fold paths and the full-data refit)."""
+    solve_chunk: object       # (lam_c, x_warm, r_warm, rm) -> _BatchState
+    A_t: object               # hoisted (n_blocks, B, m) layout
+    B: int
+    n_blocks: int
+    reason: str | None        # not None => gate failed, solve_chunk None
+    interpret: bool
+
+
+def prepare_batched_solver(
+    problem: Problem,
+    cfg: SolverConfig,
+    *,
+    interpret: bool | None = None,
+    mesh: jax.sharding.Mesh | None = None,
+    masked: bool = False,
+    chunk: int = MAX_BATCH,
+) -> PreparedBatch:
+    """Gate + hoist for the batched path.  ``masked`` charges the resident
+    row mask to the VMEM gate; gating at chunk=MAX_BATCH is conservative
+    for any smaller chunk.  When the gate fails, returns reason with
+    solve_chunk=None (callers fall back loudly)."""
+    multiple = 1
+    if problem.penalty.kind == "group_l2":
+        multiple = problem.n // problem.penalty.ngroups
+    picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
+                                        multiple_of=multiple,
+                                        dtype=problem.dtype)
+    n_shards = 1
+    if mesh is not None:
+        from convex_optimization_tpu.parallel.mesh import BLOCKS
+
+        n_shards = mesh.shape[BLOCKS]
+    reason = _batch_gate_reason(problem, picked, chunk, n_shards, masked)
+    if reason is None and picked is not None \
+            and (problem.n // picked[0]) % n_shards != 0:
+        reason = (f"n_blocks={problem.n // picked[0]} does not divide over "
+                  f"{n_shards} shards")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if reason is not None:
+        return PreparedBatch(None, None, 0, 0, reason, interpret)
+
+    B = picked[0]
+    n_blocks = problem.n // B
+
+    if mesh is not None:
+        solve_chunk, A_t = _setup_sharded(problem, cfg, mesh, B, n_blocks,
+                                          multiple, interpret)
+    else:
+        A_t = to_tblock_major(problem.A, n_blocks)
+        block_L = block_power_t(A_t, interpret=interpret)
+        # full-data block Lipschitz: a row mask only REMOVES rows, so the
+        # full-data L upper-bounds every masked block's L — masked solves
+        # take (slightly) conservative, always-sound steps with no
+        # per-fold power iteration
+        steps = (cfg.step_scale / (block_L + problem.lam2)).astype(
+            problem.dtype)
+        weights = None
+        if problem.penalty.kind == "group_l2":
+            weights = problem.penalty._gweights(problem.dtype).reshape(
+                n_blocks, 1, B // multiple)
+
+        def solve_chunk(lam_c, x_warm, r_warm, rm=None):
+            return _solve_batched(
+                A_t, problem.b, lam_c, problem.lam2, steps, weights,
+                x_warm, r_warm, rm, kind=problem.penalty.kind,
+                gsize=multiple, cfg=cfg, interpret=interpret)
+
+    return PreparedBatch(solve_chunk, A_t, B, n_blocks, None, interpret)
+
+
 def batched_lambda_path(
     problem: Problem,
     cfg: SolverConfig,
@@ -399,6 +501,8 @@ def batched_lambda_path(
     lambdas: jax.Array | None = None,
     interpret: bool | None = None,
     mesh: jax.sharding.Mesh | None = None,
+    row_mask: jax.Array | None = None,
+    prepared: PreparedBatch | None = None,
 ) -> PathResult:
     """Solve the whole lambda grid simultaneously; see module docstring.
 
@@ -410,19 +514,23 @@ def batched_lambda_path(
 
     With ``mesh`` the grid runs column-sharded (one A_t slab per chip,
     every chip streams its slab once per sweep for ALL grid points, one
-    (L, m) psum consensus per sweep)."""
+    (L, m) psum consensus per sweep).
+
+    With ``row_mask`` ((m,), 0/1) the path solves the ROW-MASKED problem
+    (rm ⊙ A, rm ⊙ b) against the SAME device-resident A — no masked copy
+    exists anywhere (the mask rides the kernels' resident residual rows).
+    Pass ``prepared`` (from :func:`prepare_batched_solver`) to reuse one
+    A_t hoist across calls, e.g. across CV folds."""
     if lambdas is None:
-        lmax = lambda_max(problem.A, problem.b, problem.penalty)
+        b_eff = (problem.b if row_mask is None
+                 else problem.b * jnp.asarray(row_mask, problem.dtype))
+        # (rm⊙A)^T (rm⊙b) = A^T (rm⊙b) for a 0/1 mask: masked lam_max
+        # needs no masked copy of A either
+        lmax = lambda_max(problem.A, b_eff, problem.penalty)
         lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
     lambdas = jnp.asarray(lambdas, problem.dtype)
     L = int(lambdas.shape[0])
 
-    multiple = 1
-    if problem.penalty.kind == "group_l2":
-        multiple = problem.n // problem.penalty.ngroups
-    picked = pick_padded_block_size_vpu(problem.m, problem.n, 128,
-                                        multiple_of=multiple,
-                                        dtype=problem.dtype)
     # dense grids run in consecutive chunks of <= MAX_BATCH points, each
     # chunk warm-started from the previous chunk's deepest solution (GS
     # prox descent is monotone from any start); equal-size chunks keep the
@@ -430,56 +538,39 @@ def batched_lambda_path(
     n_chunks = -(-L // MAX_BATCH)
     chunk = -(-L // n_chunks)
 
-    n_shards = 1
-    if mesh is not None:
-        from convex_optimization_tpu.parallel.mesh import BLOCKS
-
-        n_shards = mesh.shape[BLOCKS]
-
-    reason = _batch_gate_reason(problem, picked, min(L, chunk), n_shards)
-    if reason is None and picked is not None \
-            and (problem.n // picked[0]) % n_shards != 0:
-        reason = (f"n_blocks={problem.n // picked[0]} does not divide over "
-                  f"{n_shards} shards")
-    if reason is not None:
+    prep = prepared
+    if prep is None:
+        prep = prepare_batched_solver(
+            problem, cfg, interpret=interpret, mesh=mesh,
+            masked=row_mask is not None, chunk=min(L, chunk))
+    if prep.reason is not None:
         warnings.warn(
-            f"bcd_batch gate failed ({reason}); falling back to the "
+            f"bcd_batch gate failed ({prep.reason}); falling back to the "
             f"sequential bcd_pallas path — PathResult.method_used records "
             f"the substitution", stacklevel=2)
         from convex_optimization_tpu.solvers.lambda_path import lambda_path
 
-        return lambda_path(problem, cfg, lambdas=lambdas,
+        p_eff = problem
+        if row_mask is not None:
+            # masked-copy fallback: only reachable where the kernel gate
+            # fails (small/odd shapes), so the full-size masked copy is
+            # small by construction
+            import dataclasses
+
+            rm = jnp.asarray(row_mask, problem.dtype)
+            p_eff = dataclasses.replace(problem, A=problem.A * rm[:, None],
+                                        b=problem.b * rm)
+        return lambda_path(p_eff, cfg, lambdas=lambdas,
                            method="bcd_pallas", mesh=mesh)
 
-    B = picked[0]
-    n_blocks = problem.n // B
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    if mesh is not None:
-        solve_chunk = _setup_sharded(problem, cfg, mesh, B, n_blocks,
-                                     multiple, interpret)
-    else:
-        A_t = to_tblock_major(problem.A, n_blocks)
-        block_L = block_power_t(A_t, interpret=interpret)
-        steps = (cfg.step_scale / (block_L + problem.lam2)).astype(
-            problem.dtype)
-        weights = None
-        if problem.penalty.kind == "group_l2":
-            weights = problem.penalty._gweights(problem.dtype).reshape(
-                n_blocks, 1, B // multiple)
-
-        def solve_chunk(lam_c, x_warm, r_warm):
-            return _solve_batched(
-                A_t, problem.b, lam_c, problem.lam2, steps, weights,
-                x_warm, r_warm, kind=problem.penalty.kind, gsize=multiple,
-                cfg=cfg, interpret=interpret)
+    rm = (None if row_mask is None
+          else jnp.asarray(row_mask, problem.dtype).reshape(problem.m))
 
     xs_parts, gaps_parts, iters_parts = [], [], []
     x_warm = r_warm = None
     for c0 in range(0, L, chunk):
         lam_c = lambdas[c0:c0 + chunk]
-        final = solve_chunk(lam_c, x_warm, r_warm)
+        final = prep.solve_chunk(lam_c, x_warm, r_warm, rm)
         Lc = lam_c.shape[0]
         xs_parts.append(final.X_best.transpose(1, 0, 2).reshape(
             Lc, problem.n))
@@ -488,7 +579,8 @@ def batched_lambda_path(
         if c0 + chunk < L:
             # warm-start the next chunk at the deepest certified point;
             # R_best is that point's EXACT refreshed residual (no extra
-            # program)
+            # program; for masked runs it is masked, preserving the
+            # invariant)
             x_warm = final.X_best[:, Lc - 1, :]
             r_warm = final.R_best[Lc - 1]
 

@@ -4,29 +4,41 @@ reference family's standard workflow is "solve a λ grid, pick λ by
 held-out error"; the reference itself stops at the grid, so this is a
 capability extension, not a parity item).
 
-TPU-first design:
+TPU-first design (round 5: fully kernel-routed):
   * folds are ROW MASKS, not gathers: the fold-f training problem is the
     original problem with validation rows zeroed (A_f = mask ⊙ A,
     b_f = mask ⊙ b) — zero rows contribute nothing to the smooth term, so
     this is EXACTLY the lasso on the training subset, with every shape
-    unchanged.  Static shapes mean one compiled solver program serves all
-    k folds and all path points (fold data and lam1 are both data);
+    unchanged;
+  * the masks ride the BATCH KERNELS' resident residual rows
+    ((M⊙A)x = M⊙(Ax) and (M⊙A)ᵀr = Aᵀ(M⊙r), so gating the in-kernel
+    residual updates with the mask sweeps the masked problem exactly):
+    every fold path shares ONE device-resident A — no masked copies, no
+    full-size XLA program anywhere, one A_t hoist for all folds + refit
+    (prepare_batched_solver);
+  * validation error is kernel-routed too: one batched A-stream pass
+    (ax_minus_b_batch_t) scores all path points of a fold at once;
   * the λ grid is computed ONCE from the full data (glmnet convention) so
-    per-fold validation curves align point-for-point;
-  * validation error is one batched matmul per fold over the stacked path
-    solutions ((L, n) @ (n, m)) — MXU-friendly, no per-λ host loop.
+    per-fold validation curves align point-for-point; each fold solves at
+    λ · (m_train/m) because the UNNORMALIZED 0.5‖Ax-b‖² data-fit term of a
+    fold has only m_train rows — without the scale, folds are
+    over-regularized by ~k/(k-1) relative to the full-data refit
+    (ADVICE r4);
+  * folds and λs are DATA to a handful of compiled programs: all k fold
+    paths and the refit reuse the same jitted chunk programs.
 
-Caveat for relay-backed TPU runs at very large sizes: the validation
-matmul and the masked-copy construction are full-size XLA dots/elementwise
-programs (minutes-scale relay compiles at the 4 GB headline size — see
-CLAUDE.md).  CV is a model-selection tool; run it at the sizes where you
-select models, or pass method='bcd_ws' to keep the solve phase
-kernel-routed.
+``method='bcd_batch'`` (the default) is this kernel route.  Any other
+method falls back to per-fold masked COPIES of A (k full-size elementwise
+programs + an XLA validation matmul) — fine at model-selection sizes on
+CPU, minutes-scale relay compiles at the 4 GB headline (CLAUDE.md); the
+kernel route has no such caveat.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -51,6 +63,7 @@ class CVResult(NamedTuple):
     one_se_lambda: float      # (the sparser "1-SE rule" choice)
     x: jax.Array | None       # full-data refit at best_lambda (refit=True)
     x_one_se: jax.Array | None  # full-data refit at one_se_lambda
+    method_used: str = "bcd_batch"  # solver that actually ran the folds
 
 
 def kfold_train_masks(m: int, k: int, seed: int = 0) -> np.ndarray:
@@ -67,6 +80,30 @@ def kfold_train_masks(m: int, k: int, seed: int = 0) -> np.ndarray:
     return masks
 
 
+def fold_lambda_scale(mask: np.ndarray) -> float:
+    """m_train / m: the factor that makes a fold's λ comparable to the
+    full-data λ at the same grid point under the UNNORMALIZED data-fit
+    0.5‖Ax-b‖² (glmnet's shared-grid convention assumes per-observation
+    1/(2N) loss normalization; this objective lacks it, so the grid must
+    shrink with the row count instead — ADVICE r4)."""
+    return float(np.sum(mask)) / mask.shape[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _val_mse_kernel(A_t, X, b, val_mask, *, interpret):
+    """Held-out MSE for a chunk of path points, kernel-routed: ONE
+    streamed pass of A_t computes R = A X - b rows for every point
+    (ops/bcd_sweep_vpu_batch.ax_minus_b_batch_t), masked to the fold's
+    validation rows.  X (n_blocks, Lc, B)."""
+    from convex_optimization_tpu.ops.bcd_sweep_vpu_batch import (
+        ax_minus_b_batch_t,
+    )
+
+    R = ax_minus_b_batch_t(A_t, X, b, interpret=interpret)
+    w = val_mask[None, :]
+    return jnp.sum(w * R * R, axis=1) / jnp.sum(val_mask)
+
+
 def cv_lambda_path(
     problem: Problem,
     cfg: SolverConfig,
@@ -76,15 +113,20 @@ def cv_lambda_path(
     lam_min_frac: float = 0.01,
     lambdas: jax.Array | None = None,
     seed: int = 0,
-    method: str = "fista",
+    method: str = "bcd_batch",
     refit: bool = True,
+    interpret: bool | None = None,
 ) -> CVResult:
     """K-fold CV over a warm-started λ path; picks λ by held-out MSE.
 
     Returns both the MSE-minimizing λ and the "1-SE rule" λ (the largest
     λ whose mean MSE is within one standard error of the minimum — the
     standard sparser choice).  ``refit=True`` re-solves the FULL problem
-    at each chosen λ (warm-started from λ_max side as usual)."""
+    at each chosen λ (warm-started from λ_max side as usual).
+
+    With the default ``method='bcd_batch'`` every program is
+    kernel-routed and all folds share one device-resident A (module
+    docstring); other methods run per-fold masked copies."""
     m = problem.m
     if lambdas is None:
         lmax = lambda_max(problem.A, problem.b, problem.penalty)
@@ -92,25 +134,22 @@ def cv_lambda_path(
     # problem dtype: an f64 grid (x64-enabled hosts) would promote the
     # solver carry and break the while_loop's fixed carry type
     lambdas = jnp.asarray(lambdas, problem.dtype)
+    L = int(lambdas.shape[0])
 
     masks = kfold_train_masks(m, k, seed)
+    # per-fold λ scale (ADVICE r4): the fold's unnormalized data-fit has
+    # m_train rows, the full data m — solve the fold at λ·(m_train/m) so
+    # fold curves are comparable to the full-data refit at grid point l
+    scales = [fold_lambda_scale(masks[f]) for f in range(k)]
 
-    # one jitted validation scorer reused across folds (shapes static):
-    # R = Xs @ A^T - b broadcast, masked to the held-out rows
-    @jax.jit
-    def _val_mse(xs, A, b, val_mask):
-        r = xs @ A.T - b[None, :]              # (L, m)
-        w = val_mask[None, :]
-        return jnp.sum(w * r * r, axis=1) / jnp.sum(val_mask)
-
-    val_rows = []
-    for f in range(k):
-        tm = jnp.asarray(masks[f])
-        p_f = dataclasses.replace(problem, A=problem.A * tm[:, None],
-                                  b=problem.b * tm)
-        pr = lambda_path(p_f, cfg, lambdas=lambdas, method=method)
-        val_rows.append(_val_mse(pr.xs, problem.A, problem.b, 1.0 - tm))
-    val_mse = jnp.stack(val_rows)              # (k, L)
+    method_used = method
+    prep = None
+    if method == "bcd_batch":
+        val_mse, method_used, prep = _cv_folds_kernel_routed(
+            problem, cfg, lambdas, masks, scales, interpret)
+    else:
+        val_mse = _cv_folds_masked_copy(
+            problem, cfg, lambdas, masks, scales, method)
     mean_mse = jnp.mean(val_mse, axis=0)
     # standard error of the fold mean
     se_mse = jnp.std(val_mse, axis=0, ddof=1) / np.sqrt(k)
@@ -125,7 +164,21 @@ def cv_lambda_path(
     if refit:
         # full-data path down to the chosen λ reuses warm starts; a path
         # is cheaper than two cold solves and both chosen λs lie on it
-        pr_full = lambda_path(problem, cfg, lambdas=lambdas, method=method)
+        if method == "bcd_batch" and prep is not None:
+            from convex_optimization_tpu.solvers.batched_path import (
+                batched_lambda_path,
+            )
+
+            pr_full = batched_lambda_path(problem, cfg, lambdas=lambdas,
+                                          interpret=interpret,
+                                          prepared=prep)
+        else:
+            # gate-failed kernel route already warned once; don't warn
+            # again on the refit — go straight to the substituted solver
+            refit_method = ("bcd_pallas" if method == "bcd_batch"
+                            else method)
+            pr_full = lambda_path(problem, cfg, lambdas=lambdas,
+                                  method=refit_method)
         x = pr_full.xs[best]
         x1 = pr_full.xs[one_se]
 
@@ -133,5 +186,79 @@ def cv_lambda_path(
         lambdas=lambdas, val_mse=val_mse, mean_mse=mean_mse, se_mse=se_mse,
         best_index=best, best_lambda=float(lambdas[best]),
         one_se_index=one_se, one_se_lambda=float(lambdas[one_se]),
-        x=x, x_one_se=x1,
+        x=x, x_one_se=x1, method_used=method_used,
     )
+
+
+def _cv_folds_kernel_routed(problem, cfg, lambdas, masks, scales,
+                            interpret):
+    """All k fold paths through the batch kernels: one A_t hoist, fold
+    masks as data, zero full-size XLA programs.  Returns (val_mse,
+    method_used, prepared-solver-or-None) — the refit reuses the prepared
+    solver.  Falls back to the masked-copy route (with a warning) when
+    the kernel gate fails."""
+    from convex_optimization_tpu.ops.bcd_sweep_vpu_batch import MAX_BATCH
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+        prepare_batched_solver,
+    )
+
+    L = int(lambdas.shape[0])
+    k = masks.shape[0]
+    n_chunks = -(-L // MAX_BATCH)
+    chunk = -(-L // n_chunks)
+
+    prep = prepare_batched_solver(problem, cfg, interpret=interpret,
+                                  masked=True, chunk=chunk)
+    if prep.reason is not None:
+        warnings.warn(
+            f"bcd_batch gate failed ({prep.reason}); CV falling back to "
+            f"per-fold masked copies with the sequential bcd_pallas path",
+            stacklevel=3)
+        return (_cv_folds_masked_copy(problem, cfg, lambdas, masks, scales,
+                                      "bcd_pallas"),
+                "bcd_pallas+masked_copy", None)
+
+    nb, B = prep.n_blocks, prep.B
+    val_rows = []
+    for f in range(k):
+        tm = jnp.asarray(masks[f])
+        pr = batched_lambda_path(problem, cfg, lambdas=lambdas * scales[f],
+                                 row_mask=tm, prepared=prep,
+                                 interpret=interpret)
+        # kernel-routed validation: score the fold's path points in the
+        # same <= MAX_BATCH chunks (<= 2 program shapes, shared by folds)
+        vals = []
+        for c0 in range(0, L, chunk):
+            Xc = pr.xs[c0:c0 + chunk].reshape(-1, nb, B).transpose(1, 0, 2)
+            vals.append(_val_mse_kernel(prep.A_t, Xc, problem.b, 1.0 - tm,
+                                        interpret=prep.interpret))
+        val_rows.append(jnp.concatenate(vals))
+    return jnp.stack(val_rows), "bcd_batch", prep
+
+
+def _cv_folds_masked_copy(problem, cfg, lambdas, masks, scales, method):
+    """Per-fold masked copies of (A, b) + an XLA validation matmul — the
+    route for non-batch methods.  Caveat at relay-backed TPU sizes: the
+    masked-copy construction and the validation matmul are FULL-SIZE XLA
+    programs (minutes-scale compiles at 4 GB — CLAUDE.md); prefer the
+    default kernel route there."""
+    k = masks.shape[0]
+
+    # one jitted validation scorer reused across folds (shapes static):
+    # R = Xs @ A^T - b broadcast, masked to the held-out rows
+    @jax.jit
+    def _val_mse(xs, A, b, val_mask):
+        r = xs @ A.T - b[None, :]              # (L, m)
+        w = val_mask[None, :]
+        return jnp.sum(w * r * r, axis=1) / jnp.sum(val_mask)
+
+    val_rows = []
+    for f in range(k):
+        tm = jnp.asarray(masks[f])
+        p_f = dataclasses.replace(problem, A=problem.A * tm[:, None],
+                                  b=problem.b * tm)
+        pr = lambda_path(p_f, cfg, lambdas=lambdas * scales[f],
+                         method=method)
+        val_rows.append(_val_mse(pr.xs, problem.A, problem.b, 1.0 - tm))
+    return jnp.stack(val_rows)

@@ -355,9 +355,14 @@ def solve_working_set(problem: Problem, cfg: SolverConfig, *,
             # the whole restricted program compiles in seconds)
             A_t_ws = _gather_t(A_t_view, idx, nb=k_b // b_ws, bs=b_ws)
             # NaN placeholder: no kernel-routed compact program may trace
-            # problem.A (see module docstring) — XLA DCEs the unused input
+            # problem.A (see module docstring).  A TINY stand-in + static
+            # shape_override instead of a real (m, k_b) NaN buffer — the
+            # full-size placeholder was pure HBM waste and tipped the
+            # 10k×100k headline over the chip's memory (r5 battery OOM):
+            # A + A_t + slab + placeholder ~ 2 + 2·(k_b/n) copies
             p_ws = dataclasses.replace(
-                problem, A=jnp.full((m, k_b), jnp.nan, problem.dtype),
+                problem, A=jnp.full((8, 8), jnp.nan, problem.dtype),
+                shape_override=(m, k_b),
                 penalty=_compact_penalty(idx_np))
             # r_full from the screen equals A[:,W] x_W - b exactly (x is 0
             # off W), so the warm init needs no residual matvec

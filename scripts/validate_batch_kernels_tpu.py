@@ -92,6 +92,26 @@ def main():
         results[f"sweep_{kind}"] = err
         tick(f"{kind}: sweep max err vs single-lambda kernel = {err:.2e}")
 
+    # --- masked sweep (round 5, kernel-routed CV): the row-mask gate on
+    # the phase-2 residual update is new Mosaic surface (a resident (1, m)
+    # VMEM input multiplied into the (1, c) accumulator chunks); must be
+    # bit-exact vs a plain sweep over a masked COPY of A on the chip
+    tick("masked sweep: compiling + running row-masked batched sweep")
+    rm = jnp.asarray((np.random.default_rng(5).random(m) > 0.25)
+                     .astype(np.float32))
+    Rm = rm[None, :] * R
+    Xm1, Rm1 = jax.jit(lambda Xv, Rv: batch_sweep_vpu(
+        A_t, Xv, Rv, steps, lam1s, p.lam2, kind="l1", row_mask=rm,
+        interpret=False))(X, Rm)
+    A_t_mc = to_tblock_major(p.A * rm[:, None], nb)
+    Xm2, Rm2 = jax.jit(lambda Xv, Rv: batch_sweep_vpu(
+        A_t_mc, Xv, Rv, steps, lam1s, p.lam2, kind="l1",
+        interpret=False))(X, Rm)
+    err_m = max(float(jnp.max(jnp.abs(Xm1 - Xm2))),
+                float(jnp.max(jnp.abs(Rm1 - Rm2))))
+    results["sweep_row_masked"] = err_m
+    tick(f"masked sweep max err vs masked-copy sweep = {err_m:.2e}")
+
     # matvec kernels (l1 instance reused)
     Rb = ax_minus_b_batch_t(A_t, X, p.b, interpret=False)
     Zb = neg_at_r_batch_t(A_t, R, X, 0.37, interpret=False)

@@ -108,6 +108,93 @@ def test_eligibility_gate():
     assert not eligible_vpu_batch(64, 256, 32, 99)     # L > MAX_BATCH
     assert not eligible_vpu_batch(64, 250, 32, 3)      # n % B
     assert not eligible_vpu_batch(64, 256, 32, 3, jnp.float64)
+    # the masked variant charges the resident row mask to VMEM
+    assert eligible_vpu_batch(64, 256, 32, 3, masked=True)
+
+
+def test_masked_batch_sweep_is_bit_exact_vs_masked_copy():
+    """Row-masked sweep on the FULL A_t == plain sweep on a masked COPY of
+    A, bit-for-bit: the 0/1 mask multiplies after the same f32 sums the
+    masked copy zeroes before them (0 or the identical sum either way).
+    This is the kernel-level guarantee the kernel-routed CV rests on."""
+    p, A_t, steps = _setup()
+    nb, B, m = A_t.shape
+    L = 3
+    lam1s = jnp.asarray([2.0, 1.0, 0.25], p.dtype) * p.penalty.lam1
+    rng = np.random.default_rng(3)
+    rm = jnp.asarray((rng.random(m) > 0.25).astype(np.float32))
+    X = jnp.asarray(rng.standard_normal((nb, L, B)), p.dtype) * 0.1
+    # residuals consistent with X AND masked (the invariant callers hold)
+    R = jnp.stack([rm * (p.A @ X[:, l, :].reshape(p.n) - p.b)
+                   for l in range(L)])
+
+    X1, R1 = batch_sweep_vpu(A_t, X, R, steps, lam1s, p.lam2, kind="l1",
+                             row_mask=rm, interpret=True)
+    A_t_masked = to_tblock_major(p.A * rm[:, None], nb)
+    X2, R2 = batch_sweep_vpu(A_t_masked, X, R, steps, lam1s, p.lam2,
+                             kind="l1", interpret=True)
+    np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
+    np.testing.assert_array_equal(np.asarray(R1), np.asarray(R2))
+    # masked rows of R stay EXACTLY zero (the invariant persists)
+    np.testing.assert_array_equal(np.asarray(R1)[:, np.asarray(rm) == 0],
+                                  0.0)
+
+
+def test_batched_path_row_mask_equals_masked_copy_problem():
+    """batched_lambda_path(row_mask=M) == batched_lambda_path on the
+    masked-copy problem: same certified solutions at every path point."""
+    import dataclasses
+
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    p = inst.problem
+    rm = jnp.asarray(kfold_train_masks_np(p.m, 4, seed=2)[1])
+    cfg = SolverConfig(tol=1e-6, max_iters=4000, gap_every=10,
+                       stall_checks=20)
+    lmax = float(jnp.max(jnp.abs(p.A.T @ (p.b * rm))))
+    grid = jnp.geomspace(0.8 * lmax, 0.05 * lmax, 5)
+
+    masked_kernel = batched_lambda_path(p, cfg, lambdas=grid, row_mask=rm)
+    p_copy = dataclasses.replace(p, A=p.A * rm[:, None], b=p.b * rm)
+    masked_copy = batched_lambda_path(p_copy, cfg, lambdas=grid)
+    assert masked_kernel.method_used == "bcd_batch"
+    assert np.all(np.asarray(masked_kernel.gaps) <= 1e-4)
+    # a 1e-6-grade certificate pins the OBJECTIVE, not x itself; the two
+    # runs also take different step sizes (the kernel route keeps the
+    # conservative full-data block Lipschitz, the copy's is masked), so
+    # compare like the sequential-vs-batched test does
+    np.testing.assert_allclose(np.asarray(masked_kernel.xs),
+                               np.asarray(masked_copy.xs), atol=5e-3)
+
+
+def test_batched_path_sharded_row_mask_matches_unsharded():
+    """Masked + column-sharded == masked unsharded (the fold mask is
+    replicated; each chip gates its local residual delta)."""
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+    )
+
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 128, 1024)
+    p = inst.problem
+    rm = jnp.asarray(kfold_train_masks_np(p.m, 4, seed=0)[0])
+    cfg = SolverConfig(tol=1e-6, max_iters=6000, gap_every=10,
+                       stall_checks=20)
+    sh = batched_lambda_path(p, cfg, path_len=3, lam_min_frac=0.1,
+                             row_mask=rm, mesh=_mesh8())
+    un = batched_lambda_path(p, cfg, path_len=3, lam_min_frac=0.1,
+                             row_mask=rm)
+    assert sh.method_used == "bcd_batch+sharded"
+    np.testing.assert_allclose(np.asarray(sh.xs), np.asarray(un.xs),
+                               atol=1e-3)
+
+
+def kfold_train_masks_np(m, k, seed):
+    from convex_optimization_tpu.solvers.cv import kfold_train_masks
+
+    return kfold_train_masks(m, k, seed)
 
 
 @pytest.mark.parametrize("kind,ngroups", [

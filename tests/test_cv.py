@@ -77,6 +77,99 @@ def test_cv_selects_a_recovering_lambda():
     assert res.x_one_se.shape == (inst.problem.n,)
 
 
+def test_fold_lambda_scale():
+    from convex_optimization_tpu.solvers.cv import fold_lambda_scale
+
+    masks = kfold_train_masks(100, 5, seed=0)
+    for f in range(5):
+        s = fold_lambda_scale(masks[f])
+        assert s == masks[f].sum() / 100.0
+        assert 0.7 < s < 0.9  # ~ (k-1)/k = 0.8
+
+
+def test_lambda_scales_with_row_count():
+    """The rationale for the fold-λ scale (ADVICE r4): duplicating every
+    row doubles the unnormalized data-fit, so the duplicated problem at
+    2λ has the same solution as the original at λ.  A fold (fewer rows)
+    therefore needs λ·(m_train/m) to match the full-data grid point."""
+    inst = make_lasso_instance(KEY, 48, 160)
+    p = inst.problem
+    p2 = dataclasses.replace(
+        p, A=jnp.concatenate([p.A, p.A]), b=jnp.concatenate([p.b, p.b]),
+        penalty=p.penalty.with_lam1(2.0 * p.penalty.lam1))
+    r1 = solve(p, "fista", tol=1e-7, max_iters=8000)
+    r2 = solve(p2, "fista", tol=1e-7, max_iters=8000)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               atol=5e-5)
+
+
+def test_cv_kernel_route_matches_masked_copy_route():
+    """The default kernel-routed CV (fold masks inside the batch kernels,
+    zero full-size XLA programs) must reproduce the masked-copy route's
+    validation curves and selection."""
+    inst = make_lasso_instance(KEY, 96, 320, noise_std=0.05)
+    cfg = SolverConfig(tol=1e-6, max_iters=6000, gap_every=10,
+                       stall_checks=20)
+    kern = cv_lambda_path(inst.problem, cfg, k=3, path_len=6, seed=4,
+                          method="bcd_batch")
+    copy = cv_lambda_path(inst.problem, cfg, k=3, path_len=6, seed=4,
+                          method="bcd")
+    assert kern.method_used == "bcd_batch"
+    # a certificate pins the objective, not x: two certified solvers can
+    # sit ~1e-3 apart in x, which moves a held-out MSE by ~1e-3 absolute
+    np.testing.assert_allclose(np.asarray(kern.val_mse),
+                               np.asarray(copy.val_mse),
+                               rtol=1e-3, atol=2e-3)
+    assert kern.best_index == copy.best_index
+    assert kern.one_se_index == copy.one_se_index
+
+
+def test_cv_kernel_route_gate_fallback_warns():
+    """m % 8 != 0 fails the kernel gate: CV must warn and record the
+    masked-copy substitution."""
+    inst = make_lasso_instance(KEY, 61, 128)
+    cfg = SolverConfig(tol=1e-4, max_iters=1500)
+    with pytest.warns(UserWarning, match="bcd_batch gate failed"):
+        res = cv_lambda_path(inst.problem, cfg, k=3, path_len=4)
+    assert res.method_used == "bcd_pallas+masked_copy"
+    assert res.val_mse.shape == (3, 4)
+    assert np.all(np.isfinite(np.asarray(res.mean_mse)))
+
+
+def test_cv_kernel_route_traces_no_full_size_A_program():
+    """NaN-A audit (the working-set audit pattern, solvers/working_set.py):
+    after the one-time A_t hoist, replace problem.A with NaN — fold paths
+    and the kernel-routed validation score must stay finite, proving that
+    no program in the kernel-routed CV beyond the hoist ever traces the
+    full-size A (VERDICT r4 Next #2's program audit)."""
+    from convex_optimization_tpu.solvers.batched_path import (
+        batched_lambda_path,
+        prepare_batched_solver,
+    )
+    from convex_optimization_tpu.solvers.cv import _val_mse_kernel
+
+    inst = make_lasso_instance(KEY, 64, 256)
+    p = inst.problem
+    cfg = SolverConfig(tol=1e-5, max_iters=2000, gap_every=10,
+                       stall_checks=15)
+    prep = prepare_batched_solver(p, cfg, masked=True)
+    assert prep.reason is None
+    rm = jnp.asarray(kfold_train_masks(p.m, 3, seed=0)[0])
+    lmax = float(jnp.max(jnp.abs(p.A.T @ (p.b * rm))))
+    grid = jnp.geomspace(0.8 * lmax, 0.1 * lmax, 4)
+
+    p_nan = dataclasses.replace(
+        p, A=jnp.full(p.A.shape, jnp.nan, p.dtype))
+    pr = batched_lambda_path(p_nan, cfg, lambdas=grid, row_mask=rm,
+                             prepared=prep)
+    assert pr.method_used == "bcd_batch"
+    assert np.all(np.isfinite(np.asarray(pr.xs)))
+    Xc = pr.xs.reshape(4, prep.n_blocks, prep.B).transpose(1, 0, 2)
+    v = _val_mse_kernel(prep.A_t, Xc, p.b, 1.0 - rm,
+                        interpret=prep.interpret)
+    assert np.all(np.isfinite(np.asarray(v)))
+
+
 def test_cv_no_refit_and_explicit_grid():
     inst = make_lasso_instance(KEY, 64, 128)
     cfg = SolverConfig(tol=1e-4, max_iters=1500)
