@@ -133,6 +133,13 @@ def _gap_from_parts(r, b, lam2, pen, x, z):
     return gap, primal, rel, alpha
 
 
+#: which path the last _gather_cols call took ("native" | "numpy");
+#: surfaced in the polish verbose tick so slow-gather reports (r5 bench:
+#: 5.4 s for 281 MB vs 0.19 s quiet-native) can be attributed to a path,
+#: not guessed at post hoc.
+_last_gather_path = "?"
+
+
 def _gather_cols(A, idx, dtype=np.float64):
     """Column gather (+ cast) with contiguous reads AND writes.
 
@@ -147,12 +154,15 @@ def _gather_cols(A, idx, dtype=np.float64):
     # native path (round 3): one GIL-released C call for the whole index
     # set — immune to the post-relay-program background-thread starvation
     # that throttled per-column gathers to ~46 MB/s (round 1/2)
+    global _last_gather_path
     if isinstance(A, np.ndarray):
         from convex_optimization_tpu.utils import native as co_native
 
         out = co_native.gather_cols(A, np.asarray(idx), dtype)
         if out is not None:
+            _last_gather_path = "native"
             return out
+    _last_gather_path = "numpy"
     m = A.shape[0]
     # np.zeros, NOT np.empty: faulting fresh pages in during the strided
     # gather writes measured 20-30 MB/s on this host (THP/compaction
@@ -831,7 +841,7 @@ def polish_support(problem, x, *, tol: float = 1e-6,
                 order="F")
         else:
             As = _gather_cols(A_host, S, np.float32)
-        tp = tick(f"gather(|S|={len(S)})", tp)
+        tp = tick(f"gather(|S|={len(S)},{_last_gather_path})", tp)
         S_full = S
         pen_s = _NpPenalty(pen.kind, lam1, 0, None, len(S))
         xs = x_np[S]
@@ -984,7 +994,7 @@ def _polish_support_group(problem, x, *, tol, max_iters, gap_every,
                 order="F")
         else:
             As = _gather_cols(A_host, cols, np.float32)
-        tp = tick(f"gather(|G|={len(G)})", tp)
+        tp = tick(f"gather(|G|={len(G)},{_last_gather_path})", tp)
         pen_s = _NpPenalty("group_l2", lam1, len(G), w[G], len(cols))
         xs = x_np[cols]
         # f64 block CD over groups (round-3, VERDICT r2 #3): exact block
