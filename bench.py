@@ -245,6 +245,12 @@ def main() -> None:
     from convex_optimization_tpu.api import solve
     from convex_optimization_tpu.solvers.polish import polish_support
     from convex_optimization_tpu.utils.metrics import effective_bandwidth
+    from convex_optimization_tpu.utils.relay import warm_relay_async
+
+    # absorb the relay's per-process first-exec tax (40-500 s — measured
+    # per-PROCESS, not per-program: scripts/probe_warmup_aot.py r5)
+    # concurrently with datagen + the CPU-baseline measurement below
+    warm_relay_async()
 
     # host-side generation (native threaded Gaussian fill) so the polish
     # phase and CPU baseline never fetch A back through the device transport

@@ -29,6 +29,7 @@ certificate is valid for the full problem.
 
 from __future__ import annotations
 
+import resource
 import time
 from typing import NamedTuple
 
@@ -822,11 +823,25 @@ def polish_support(problem, x, *, tol: float = 1e-6,
     gamma = (np.ceil(np.log2(max(m, 2))) + 4) * eps
 
     def tick(label, t_prev):
+        # Wall AND this-thread CPU AND minor-fault deltas: the
+        # discriminator for the post-solve 20-30x native-gather slowdowns
+        # (r5 hardware: 22 s for a 1.2 GB gather that runs ~0.8 s quiet).
+        # cpu ~= wall with a huge fault delta => page-fault/THP-compaction
+        # storm (kernel time bills to the faulting thread); cpu << wall
+        # => this thread was descheduled (relay-client thread competition).
         now = time.perf_counter()
+        cpu_now = time.thread_time()
+        flt_now = resource.getrusage(resource.RUSAGE_THREAD).ru_minflt
         if verbose:
             import sys
 
-            print(f"  polish[{label}] +{now - t_prev:.2f}s", file=sys.stderr)
+            prev = getattr(tick, "_prev", None)
+            note = ("" if prev is None else
+                    f" (cpu +{cpu_now - prev[0]:.2f}s"
+                    f" minflt +{flt_now - prev[1]})")
+            print(f"  polish[{label}] +{now - t_prev:.2f}s{note}",
+                  file=sys.stderr)
+        tick._prev = (cpu_now, flt_now)
         return now
 
     tp = tick("setup", t0)
@@ -969,11 +984,25 @@ def _polish_support_group(problem, x, *, tol, max_iters, gap_every,
                    dtype=np.float64)
 
     def tick(label, t_prev):
+        # Wall AND this-thread CPU AND minor-fault deltas: the
+        # discriminator for the post-solve 20-30x native-gather slowdowns
+        # (r5 hardware: 22 s for a 1.2 GB gather that runs ~0.8 s quiet).
+        # cpu ~= wall with a huge fault delta => page-fault/THP-compaction
+        # storm (kernel time bills to the faulting thread); cpu << wall
+        # => this thread was descheduled (relay-client thread competition).
         now = time.perf_counter()
+        cpu_now = time.thread_time()
+        flt_now = resource.getrusage(resource.RUSAGE_THREAD).ru_minflt
         if verbose:
             import sys
 
-            print(f"  polish[{label}] +{now - t_prev:.2f}s", file=sys.stderr)
+            prev = getattr(tick, "_prev", None)
+            note = ("" if prev is None else
+                    f" (cpu +{cpu_now - prev[0]:.2f}s"
+                    f" minflt +{flt_now - prev[1]})")
+            print(f"  polish[{label}] +{now - t_prev:.2f}s{note}",
+                  file=sys.stderr)
+        tick._prev = (cpu_now, flt_now)
         return now
 
     tp = tick("setup", t0)

@@ -28,6 +28,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from convex_optimization_tpu.api import solve
 from convex_optimization_tpu.core.datagen import make_lasso_instance_host
 from convex_optimization_tpu.solvers.polish import polish_support
+from convex_optimization_tpu.utils.relay import warm_relay_async
+
+# absorb the relay's per-process first-exec tax (40-500 s, probe-measured)
+# concurrently with the minutes of datagen + upload below
+warm_relay_async()
 
 _T0 = time.perf_counter()
 

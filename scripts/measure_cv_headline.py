@@ -50,6 +50,11 @@ def main():
     from convex_optimization_tpu.core.datagen import make_lasso_instance_host
     from convex_optimization_tpu.solvers.common import SolverConfig
     from convex_optimization_tpu.solvers.cv import cv_lambda_path
+    from convex_optimization_tpu.utils.relay import warm_relay_async
+
+    # absorb the relay's per-process first-exec tax (40-500 s, probe-
+    # measured) concurrently with the minutes of datagen + upload below
+    warm_relay_async()
 
     inst, _, _ = make_lasso_instance_host(7, M, N)
     problem = inst.problem

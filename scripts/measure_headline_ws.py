@@ -50,6 +50,11 @@ def main():
     from convex_optimization_tpu.solvers.common import SolverConfig
     from convex_optimization_tpu.solvers.polish import polish_support
     from convex_optimization_tpu.solvers.working_set import solve_working_set
+    from convex_optimization_tpu.utils.relay import warm_relay_async
+
+    # absorb the relay's per-process first-exec tax (40-500 s, probe-
+    # measured) concurrently with the minutes of datagen + upload below
+    warm_relay_async()
 
     inst, A_np, b_np = make_lasso_instance_host(42, M, N)
     problem = inst.problem
