@@ -124,12 +124,9 @@ def dual_value(problem: Problem, x: jax.Array, r: jax.Array | None = None) -> ja
     return duality_gap(problem, x, r).dual
 
 
-def lambda_max(A: jax.Array, b: jax.Array, penalty: Penalty) -> jax.Array:
-    """Smallest lam1 at which x* = 0 is optimal (unit test: x=0 at lam >= this).
-
-    At x = 0 the dual witness is z = A^T b; lam_max is its raw dual norm.
-    """
-    z = A.T @ b
+def raw_dual_norm(z: jax.Array, penalty: Penalty) -> jax.Array:
+    """The penalty's raw dual norm of a witness z (the λ at which x = 0
+    satisfies the optimality condition against this witness)."""
     if penalty.kind == "l1":
         raw = jnp.max(jnp.abs(z))
     elif penalty.kind == "nonneg_l1":
@@ -142,3 +139,27 @@ def lambda_max(A: jax.Array, b: jax.Array, penalty: Penalty) -> jax.Array:
     else:
         raise ValueError(f"unknown penalty kind {penalty.kind!r}")
     return raw
+
+
+def lambda_max(A: jax.Array, b: jax.Array, penalty: Penalty) -> jax.Array:
+    """Smallest lam1 at which x* = 0 is optimal (unit test: x=0 at lam >= this).
+
+    At x = 0 the dual witness is z = A^T b; lam_max is its raw dual norm.
+    NOTE: this is a full-size XLA dot — a minutes-scale relay compile over
+    multi-GB operands (CLAUDE.md); when a transposed-layout A_t is already
+    resident, use :func:`lambda_max_t` instead.
+    """
+    return raw_dual_norm(A.T @ b, penalty)
+
+
+def lambda_max_t(A_t: jax.Array, b: jax.Array, penalty: Penalty,
+                 *, interpret: bool | None = None) -> jax.Array:
+    """`lambda_max` via the transposed-layout witness kernel: z = A^T b in
+    ONE streamed Pallas pass over A_t — no full-size XLA dot program, so
+    the relay compile stays in the 1-10 s kernel-only class."""
+    from convex_optimization_tpu.ops.matvec_pallas import neg_at_r_t
+
+    n_blocks, B, _ = A_t.shape
+    z = neg_at_r_t(A_t, -b, jnp.zeros((n_blocks * B,), A_t.dtype), 0.0,
+                   interpret=interpret)
+    return raw_dual_norm(z, penalty)

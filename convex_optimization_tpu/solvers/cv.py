@@ -116,6 +116,7 @@ def cv_lambda_path(
     method: str = "bcd_batch",
     refit: bool = True,
     interpret: bool | None = None,
+    free_A: bool = False,
 ) -> CVResult:
     """K-fold CV over a warm-started λ path; picks λ by held-out MSE.
 
@@ -126,15 +127,19 @@ def cv_lambda_path(
 
     With the default ``method='bcd_batch'`` every program is
     kernel-routed and all folds share one device-resident A (module
-    docstring); other methods run per-fold masked copies."""
+    docstring); other methods run per-fold masked copies.
+
+    ``free_A=True`` (kernel route only) DELETES the device buffer of
+    ``problem.A`` once the transposed A_t hoist exists — the kernel route
+    never reads A again (NaN-audit-tested), and at the 10k×100k headline
+    A + A_t is 8 GB on a chip that admits ~8.5-11 GB of our buffers
+    (CLAUDE.md), so dropping A halves the residency.  The caller's
+    ``problem.A`` becomes unusable (any later device read raises)."""
     m = problem.m
-    if lambdas is None:
-        lmax = lambda_max(problem.A, problem.b, problem.penalty)
-        lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
-    # problem dtype: an f64 grid (x64-enabled hosts) would promote the
-    # solver carry and break the while_loop's fixed carry type
-    lambdas = jnp.asarray(lambdas, problem.dtype)
-    L = int(lambdas.shape[0])
+    if lambdas is not None:
+        # problem dtype: an f64 grid (x64-enabled hosts) would promote the
+        # solver carry and break the while_loop's fixed carry type
+        lambdas = jnp.asarray(lambdas, problem.dtype)
 
     masks = kfold_train_masks(m, k, seed)
     # per-fold λ scale (ADVICE r4): the fold's unnormalized data-fit has
@@ -145,9 +150,14 @@ def cv_lambda_path(
     method_used = method
     prep = None
     if method == "bcd_batch":
-        val_mse, method_used, prep = _cv_folds_kernel_routed(
-            problem, cfg, lambdas, masks, scales, interpret)
+        # grid computation happens INSIDE the kernel route (λ_max via the
+        # streamed witness kernel on the hoisted A_t — the XLA-dot
+        # lambda_max is a minutes-scale relay compile at multi-GB sizes)
+        val_mse, method_used, prep, lambdas = _cv_folds_kernel_routed(
+            problem, cfg, lambdas, masks, scales, interpret,
+            lam_min_frac=lam_min_frac, path_len=path_len, free_A=free_A)
     else:
+        lambdas = _full_grid(problem, lambdas, lam_min_frac, path_len)
         val_mse = _cv_folds_masked_copy(
             problem, cfg, lambdas, masks, scales, method)
     mean_mse = jnp.mean(val_mse, axis=0)
@@ -190,20 +200,31 @@ def cv_lambda_path(
     )
 
 
+def _full_grid(problem, lambdas, lam_min_frac, path_len):
+    """Default λ grid from the FULL data (XLA-dot lambda_max)."""
+    if lambdas is None:
+        lmax = lambda_max(problem.A, problem.b, problem.penalty)
+        lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax, path_len)
+    return jnp.asarray(lambdas, problem.dtype)
+
+
 def _cv_folds_kernel_routed(problem, cfg, lambdas, masks, scales,
-                            interpret):
+                            interpret, *, lam_min_frac, path_len, free_A):
     """All k fold paths through the batch kernels: one A_t hoist, fold
-    masks as data, zero full-size XLA programs.  Returns (val_mse,
-    method_used, prepared-solver-or-None) — the refit reuses the prepared
+    masks as data, zero full-size XLA programs (including the λ grid: at
+    ``lambdas=None`` λ_max comes from the streamed witness kernel on the
+    hoisted A_t, not the XLA dot).  Returns (val_mse, method_used,
+    prepared-solver-or-None, lambdas) — the refit reuses the prepared
     solver.  Falls back to the masked-copy route (with a warning) when
     the kernel gate fails."""
+    from convex_optimization_tpu.core.objective import lambda_max_t
     from convex_optimization_tpu.ops.bcd_sweep_vpu_batch import MAX_BATCH
     from convex_optimization_tpu.solvers.batched_path import (
         batched_lambda_path,
         prepare_batched_solver,
     )
 
-    L = int(lambdas.shape[0])
+    L = path_len if lambdas is None else int(lambdas.shape[0])
     k = masks.shape[0]
     n_chunks = -(-L // MAX_BATCH)
     chunk = -(-L // n_chunks)
@@ -215,9 +236,22 @@ def _cv_folds_kernel_routed(problem, cfg, lambdas, masks, scales,
             f"bcd_batch gate failed ({prep.reason}); CV falling back to "
             f"per-fold masked copies with the sequential bcd_pallas path",
             stacklevel=3)
+        lambdas = _full_grid(problem, lambdas, lam_min_frac, path_len)
         return (_cv_folds_masked_copy(problem, cfg, lambdas, masks, scales,
                                       "bcd_pallas"),
-                "bcd_pallas+masked_copy", None)
+                "bcd_pallas+masked_copy", None, lambdas)
+
+    if lambdas is None:
+        lmax = lambda_max_t(prep.A_t, problem.b, problem.penalty,
+                            interpret=prep.interpret)
+        lambdas = jnp.geomspace(0.95 * lmax, lam_min_frac * lmax,
+                                path_len).astype(problem.dtype)
+    if free_A and hasattr(problem.A, "delete"):
+        # A_t is hoisted and every downstream program is kernel-routed on
+        # it; drop the 4 GB original so folds + refit run with half the
+        # HBM residency (the r5 CV-headline worker crash happened with
+        # A + A_t + state near the chip's practical admission limit)
+        problem.A.delete()
 
     nb, B = prep.n_blocks, prep.B
     val_rows = []
@@ -234,7 +268,7 @@ def _cv_folds_kernel_routed(problem, cfg, lambdas, masks, scales,
             vals.append(_val_mse_kernel(prep.A_t, Xc, problem.b, 1.0 - tm,
                                         interpret=prep.interpret))
         val_rows.append(jnp.concatenate(vals))
-    return jnp.stack(val_rows), "bcd_batch", prep
+    return jnp.stack(val_rows), "bcd_batch", prep, lambdas
 
 
 def _cv_folds_masked_copy(problem, cfg, lambdas, masks, scales, method):

@@ -63,8 +63,11 @@ def main():
     cfg = SolverConfig(tol=1e-5, max_iters=20_000, gap_every=10,
                        stall_checks=15)
     t0 = time.perf_counter()
+    # free_A: drop the 4 GB device A once A_t is hoisted — the first
+    # attempt crashed the TPU worker with A + A_t + state resident
+    # (~8 GB of the chip's ~8.5-11 GB practical admission)
     res = cv_lambda_path(problem, cfg, k=K, path_len=PATH,
-                         method="bcd_batch")
+                         method="bcd_batch", free_A=True)
     _ = float(jnp.sum(res.mean_mse))       # value fetch = barrier
     wall = time.perf_counter() - t0
     tick(f"CV k={K} path={PATH}: wall={wall:.1f}s "

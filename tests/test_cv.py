@@ -179,3 +179,38 @@ def test_cv_no_refit_and_explicit_grid():
     assert res.x is None and res.x_one_se is None
     assert res.val_mse.shape == (3, 5)
     np.testing.assert_allclose(np.asarray(res.lambdas), np.asarray(grid))
+
+
+def test_lambda_max_t_matches_xla_dot():
+    """Kernel-routed λ_max (streamed witness over A_t) == the XLA-dot
+    lambda_max for all three penalty families — the CV grid no longer
+    needs a full-size dot program when A_t is hoisted."""
+    from convex_optimization_tpu.core.objective import lambda_max, lambda_max_t
+    from convex_optimization_tpu.ops.bcd_sweep_vpu import to_tblock_major
+
+    for kind, ngroups in [("l1", 0), ("nonneg_l1", 0), ("group_l2", 16)]:
+        inst = make_lasso_instance(jax.random.PRNGKey(3), 64, 256,
+                                   penalty_kind=kind, ngroups=ngroups)
+        p = inst.problem
+        A_t = to_tblock_major(p.A, 256 // 32)
+        ref = float(lambda_max(p.A, p.b, p.penalty))
+        got = float(lambda_max_t(A_t, p.b, p.penalty, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-6)
+
+
+def test_cv_free_A_deletes_device_buffer_and_matches():
+    """free_A=True must (a) produce the same CV selection as free_A=False
+    and (b) actually delete problem.A's device buffer (later reads raise)."""
+    inst = make_lasso_instance(KEY, 64, 256)
+    cfg = SolverConfig(tol=1e-5, max_iters=2000, gap_every=10,
+                       stall_checks=15)
+    ref = cv_lambda_path(inst.problem, cfg, k=3, path_len=4)
+
+    inst2 = make_lasso_instance(KEY, 64, 256)
+    res = cv_lambda_path(inst2.problem, cfg, k=3, path_len=4, free_A=True)
+    assert res.method_used == "bcd_batch"
+    np.testing.assert_allclose(np.asarray(res.mean_mse),
+                               np.asarray(ref.mean_mse), rtol=1e-6)
+    assert res.best_index == ref.best_index
+    with pytest.raises(RuntimeError):
+        _ = np.asarray(inst2.problem.A) + 0.0
