@@ -103,8 +103,15 @@ def _batch_kernel(kind: str, gsize: int, B: int, m: int, L: int,
     COPY of A (0 or the very same f32 sum).  One (1, m) multiply per
     chunk in VMEM replaces k full-size masked copies of A (K-fold CV)."""
     if masked:
-        (scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref, rm_ref,
-         r_init_ref, x_out_ref, r_ref) = refs
+        # the row mask arrives in ANY/HBM and is DMA'd into VMEM scratch
+        # ONCE at the first grid step: bound as a second constant-map VMEM
+        # input (alongside the r_init/r_out pair) it crashed the TPU
+        # worker at production grid sizes (nb=1250; fine at nb=4 — the r5
+        # CV-headline crash, isolated by scripts/probe_cv_stages.py) and
+        # is the exact constant-vector pattern CLAUDE.md prescribes
+        # pl.ANY + manual DMA for (see matvec_pallas._atr_kernel).
+        (scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref, rm_hbm,
+         r_init_ref, x_out_ref, r_ref, rm_ref, rm_sem) = refs
     else:
         (scalars_ref, steps_ref, w_ref, A_ref, x_ref, mask_ref,
          r_init_ref, x_out_ref, r_ref) = refs
@@ -114,6 +121,10 @@ def _batch_kernel(kind: str, gsize: int, B: int, m: int, L: int,
     @pl.when(j == 0)
     def _init():
         r_ref[:] = r_init_ref[:]
+        if masked:
+            dma = pltpu.make_async_copy(rm_hbm, rm_ref, rm_sem)
+            dma.start()
+            dma.wait()
 
     # ---- phase 1: g_l = sum_lanes(A_t[j] * r_l), one row per lambda ----
     g_rows = []
@@ -216,12 +227,16 @@ def batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2, *, kind: str,
     ]
     operands = [scalars, steps, w, A_t, X, mask]
     if masked:
-        in_specs.append(pl.BlockSpec((1, m), lambda j: (0, 0),
-                                     memory_space=pltpu.VMEM))  # row mask
+        # ANY/HBM + in-kernel DMA staging — NOT a constant-map VMEM input
+        # (that pattern, combined with the r_init/r_out constant-map pair,
+        # crashed the worker at production grid sizes; kernel docstring)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # row mask
         operands.append(jnp.asarray(row_mask, A_t.dtype).reshape(1, m))
     in_specs.append(pl.BlockSpec((L, m), lambda j: (0, 0),
                                  memory_space=pltpu.VMEM))   # R init
     operands.append(R)
+    scratch_shapes = ([pltpu.VMEM((1, m), A_t.dtype),
+                       pltpu.SemaphoreType.DMA] if masked else [])
 
     x_out, r_out = pl.pallas_call(
         kernel,
@@ -237,6 +252,7 @@ def batch_sweep_vpu(A_t, X, R, steps, lam1s, lam2, *, kind: str,
             jax.ShapeDtypeStruct((n_blocks, L, B), A_t.dtype),
             jax.ShapeDtypeStruct((L, m), A_t.dtype),
         ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=4 * m * n_blocks * B * L,
             bytes_accessed=m * n_blocks * B * 4 + 8 * n_blocks * B * L * 4
