@@ -122,12 +122,50 @@ def _init_batch_state(nb, B, m, L, b, x0, r0, dtype, rm=None):
         k=jnp.zeros((), jnp.int32))
 
 
+#: Max Gauss-Seidel sweeps per PROGRAM EXECUTION.  A single relay-backed
+#: execution that runs for minutes KILLS the TPU worker ("UNAVAILABLE:
+#: TPU worker process crashed or restarted") — measured r5: the masked
+#: CV fold solve at 10k x 100k died reproducibly at max_iters=20000 and
+#: ran clean at 100; the unmasked ~30-60 s execution survived.  The
+#: budget is a TRACED argument, so slicing costs zero extra programs —
+#: the host just re-invokes the same compiled program with the carried
+#: state (~1.3 s round trip per slice, ~10-15 s of compute per slice).
+EXEC_SWEEP_BUDGET = 1500
+
+
+def _drive_budgeted(step_fn, state, cfg: SolverConfig):
+    """Run ``step_fn(state, k_budget) -> state`` in bounded execution
+    slices until every path point is converged or stalled, or max_iters.
+    The exit test mirrors the in-program while_loop cond on the host."""
+    import numpy as np
+
+    while True:
+        k = int(state.k)
+        if k >= cfg.max_iters:
+            break
+        kb = jnp.asarray(min(k + EXEC_SWEEP_BUDGET, cfg.max_iters),
+                         jnp.int32)
+        state = step_fn(state, kb)
+        k2, rel, since = jax.device_get(
+            (state.k, state.best_rel, state.since_best))
+        conv = rel <= cfg.tol
+        stall = (since >= cfg.stall_checks if cfg.stall_checks > 0
+                 else np.zeros_like(conv, bool))
+        if bool(np.all(conv | stall)) or int(k2) >= cfg.max_iters:
+            break
+        if int(k2) == k:     # in-program cond already done: no progress
+            break
+    return state
+
+
 def _run_batched_loop(state0, lam1s, cfg: SolverConfig, sweep_once,
-                      gap_check):
+                      gap_check, k_budget):
     """The batched-path while_loop shared by the single-chip and sharded
     solvers: gap_every sweeps -> certify -> best-iterate tracking ->
     cascade warm start.  sweep_once(X, R) -> (X, R);
-    gap_check(X, R) -> (R_exact, GapInfo over (L,), rho_aug, base_val)."""
+    gap_check(X, R) -> (R_exact, GapInfo over (L,), rho_aug, base_val).
+    ``k_budget`` (traced i32) bounds THIS EXECUTION's sweeps — see
+    EXEC_SWEEP_BUDGET."""
     L = lam1s.shape[0]
 
     def body(state):
@@ -179,27 +217,26 @@ def _run_batched_loop(state0, lam1s, cfg: SolverConfig, sweep_once,
                    if cfg.stall_checks > 0
                    else jnp.zeros_like(converged))
         done = jnp.all(converged | stalled)
-        return (state.k < cfg.max_iters) & ~done
+        return (state.k < k_budget) & (state.k < cfg.max_iters) & ~done
 
     return jax.lax.while_loop(cond, body, state0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "gsize", "cfg", "interpret"))
-def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, rm, *,
-                   kind, gsize, cfg: SolverConfig, interpret):
+def _solve_batched(A_t, b, lam1s, lam2, steps, weights, state0, k_budget,
+                   rm, *, kind, gsize, cfg: SolverConfig, interpret):
     """The single jitted batched-path program (no XLA dots anywhere).
-    x0 (n_blocks, B) / r0 (m,) warm-start every point (None = cold from 0:
-    the dense-grid chunking warm-starts chunk k+1 from chunk k's deepest
-    solution).  rm (m,) solves the ROW-MASKED problem (rm ⊙ A, rm ⊙ b)
-    against the same resident A — the mask gates the kernel's residual
-    updates and the refresh, and every gap quantity is then automatically
-    the masked problem's (R stays masked, so A^T R, ||R||^2 and R·b are
-    exactly the masked-problem values)."""
+    ``state0`` carries the iterates across bounded execution slices (see
+    EXEC_SWEEP_BUDGET); warm starts are encoded in the state by the
+    caller (_init_batch_state).  rm (m,) solves the ROW-MASKED problem
+    (rm ⊙ A, rm ⊙ b) against the same resident A — the mask gates the
+    kernel's residual updates and the refresh, and every gap quantity is
+    then automatically the masked problem's (R stays masked, so A^T R,
+    ||R||^2 and R·b are exactly the masked-problem values)."""
     n_blocks, B, m = A_t.shape
     L = lam1s.shape[0]
     dtype = A_t.dtype
-    state0 = _init_batch_state(n_blocks, B, m, L, b, x0, r0, dtype, rm)
     w_flat = (weights if kind == "group_l2"
               else jnp.zeros((n_blocks, 1, 1), dtype))
 
@@ -228,7 +265,8 @@ def _solve_batched(A_t, b, lam1s, lam2, steps, weights, x0, r0, rm, *,
         )
         return R, info, rho_aug, base_val
 
-    return _run_batched_loop(state0, lam1s, cfg, sweep_once, gap_check)
+    return _run_batched_loop(state0, lam1s, cfg, sweep_once, gap_check,
+                             k_budget)
 
 
 def _base_val_diff(kind: str, gsize: int, weights, X, Xn):
@@ -300,13 +338,10 @@ def _setup_sharded(problem: Problem, cfg: SolverConfig, mesh, B: int,
     w_dummy = (weights if weights is not None
                else jnp.zeros((1, 1, 1), dtype))
 
-    def local_solve(A_loc, b, lam1s, steps_loc, w_loc, x0_loc, r0, rm):
-        nb_loc = A_loc.shape[0]
-        L = lam1s.shape[0]
+    def local_solve(A_loc, b, lam1s, steps_loc, w_loc, state0, k_budget,
+                    rm):
         w_pen = w_loc if kind == "group_l2" else None
         zeros_b = jnp.zeros((m,), dtype)
-        state0 = _init_batch_state(nb_loc, B, m, L, b, x0_loc, r0, dtype,
-                                   rm)
 
         def sweep_once(X, R):
             Xn, Rv = batch_sweep_vpu(A_loc, X, R, steps_loc, lam1s,
@@ -354,42 +389,63 @@ def _setup_sharded(problem: Problem, cfg: SolverConfig, mesh, B: int,
             )
             return R, info, rho_aug, base_val
 
-        return _run_batched_loop(state0, lam1s, cfg, sweep_once, gap_check)
+        return _run_batched_loop(state0, lam1s, cfg, sweep_once, gap_check,
+                                 k_budget)
 
     programs: dict = {}
 
+    def init_state(lam_c, x_warm, r_warm, rm):
+        """Eager sharded _BatchState: X/X_best ride the blocks axis, the
+        (L, m) residual rows are replicated — tiny arrays, built once per
+        chunk, carried across bounded execution slices."""
+        L = int(lam_c.shape[0])
+        if x_warm is None:
+            X0 = jnp.zeros((n_blocks, L, B), dtype)
+            b_eff = b if rm is None else rm * b
+            R0 = jnp.broadcast_to(-b_eff[None, :], (L, m)).astype(dtype)
+        else:
+            X0 = jnp.broadcast_to(x_warm[:, None, :],
+                                  (n_blocks, L, B)).astype(dtype)
+            R0 = jnp.broadcast_to(r_warm[None, :], (L, m)).astype(dtype)
+        X0 = jax.device_put(X0, NamedSharding(mesh, bspec))
+        rep = NamedSharding(mesh, P())
+        R0 = jax.device_put(R0, rep)
+        inf = jax.device_put(jnp.full((L,), jnp.inf, dtype), rep)
+        zi = jax.device_put(jnp.zeros((L,), jnp.int32), rep)
+        return _BatchState(
+            X=X0, R=R0, X_best=X0, R_best=R0, best_gap=inf, best_rel=inf,
+            best_primal=inf, iters_done=zi, since_best=zi,
+            k=jax.device_put(jnp.zeros((), jnp.int32), rep))
+
     def solve_chunk(lam_c, x_warm, r_warm, rm=None):
         Lc = int(lam_c.shape[0])
-        warm = x_warm is not None
         masked = rm is not None
-        key = (Lc, warm, masked)
+        key = (Lc, masked)
         if key not in programs:
-            base = (bspec, P(), P(), P(BLOCKS), w_spec)
-            warm_specs = (P(BLOCKS, None), P()) if warm else ()
+            base = (bspec, P(), P(), P(BLOCKS), w_spec, sspec, P())
             rm_specs = (P(),) if masked else ()
 
-            def fn(A_loc, b_, lam1s, steps_loc, w_loc, *rest):
-                x0_loc = r0 = rm_ = None
-                if warm:
-                    x0_loc, r0, *rest = rest
-                if masked:
-                    (rm_,) = rest
+            def fn(A_loc, b_, lam1s, steps_loc, w_loc, state_loc, kb,
+                   *rest):
+                rm_ = rest[0] if masked else None
                 return local_solve(A_loc, b_, lam1s, steps_loc, w_loc,
-                                   x0_loc, r0, rm_)
+                                   state_loc, kb, rm_)
 
             # check_vma=False: pallas_call out_shapes carry no vma, so the
             # VMA checker rejects ANY kernel inside shard_map; the sharded
             # == unsharded equivalence test is the correctness guard (same
             # rule as sharded_bcd's kernel modes)
             programs[key] = jax.jit(jax.shard_map(
-                fn, mesh=mesh, in_specs=base + warm_specs + rm_specs,
+                fn, mesh=mesh, in_specs=base + rm_specs,
                 out_specs=sspec, check_vma=False))
-        args = (A_t, b, lam_c, steps, w_dummy)
-        if warm:
-            args = args + (x_warm, r_warm)
-        if masked:
-            args = args + (jnp.asarray(rm, dtype),)
-        return programs[key](*args)
+        rm_args = ((jnp.asarray(rm, dtype),) if masked else ())
+
+        def step(st, kb):
+            return programs[key](A_t, b, lam_c, steps, w_dummy, st, kb,
+                                 *rm_args)
+
+        return _drive_budgeted(step, init_state(lam_c, x_warm, r_warm, rm),
+                               cfg)
 
     return solve_chunk, A_t
 
@@ -484,10 +540,15 @@ def prepare_batched_solver(
                 n_blocks, 1, B // multiple)
 
         def solve_chunk(lam_c, x_warm, r_warm, rm=None):
-            return _solve_batched(
-                A_t, problem.b, lam_c, problem.lam2, steps, weights,
-                x_warm, r_warm, rm, kind=problem.penalty.kind,
-                gsize=multiple, cfg=cfg, interpret=interpret)
+            state = _init_batch_state(
+                n_blocks, B, problem.m, int(lam_c.shape[0]), problem.b,
+                x_warm, r_warm, problem.dtype, rm)
+            return _drive_budgeted(
+                lambda st, kb: _solve_batched(
+                    A_t, problem.b, lam_c, problem.lam2, steps, weights,
+                    st, kb, rm, kind=problem.penalty.kind,
+                    gsize=multiple, cfg=cfg, interpret=interpret),
+                state, cfg)
 
     return PreparedBatch(solve_chunk, A_t, B, n_blocks, None, interpret)
 

@@ -39,6 +39,7 @@ M = int(os.environ.get("CVS_M", 10_000))
 N = int(os.environ.get("CVS_N", 100_000))
 K = int(os.environ.get("CVS_K", 5))
 PATH = int(os.environ.get("CVS_PATH", 8))
+MAXIT = int(os.environ.get("CVS_MAXIT", 20_000))   # duration bisector
 
 _T0 = time.perf_counter()
 
@@ -68,7 +69,7 @@ def main():
     problem = inst.problem
     tick("datagen + upload done")
 
-    cfg = SolverConfig(tol=1e-5, max_iters=20_000, gap_every=10,
+    cfg = SolverConfig(tol=1e-5, max_iters=MAXIT, gap_every=10,
                        stall_checks=15)
 
     prep = prepare_batched_solver(problem, cfg, masked=True, chunk=PATH)

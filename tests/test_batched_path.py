@@ -405,3 +405,33 @@ def test_path_result_records_method_and_convergence():
         assert res.method_used == expect, method
         assert res.converged is not None and res.converged.shape == (3,)
         assert np.all(np.asarray(res.converged)), method
+
+
+def test_budgeted_slices_match_single_execution(monkeypatch):
+    """The bounded-execution driver (EXEC_SWEEP_BUDGET slices around the
+    carried _BatchState) must produce the same path as one big execution
+    — slicing exists because minutes-long single executions kill the TPU
+    worker (r5), and must never change results."""
+    import convex_optimization_tpu.solvers.batched_path as bp
+    from convex_optimization_tpu.core.datagen import make_lasso_instance
+
+    inst = make_lasso_instance(jax.random.PRNGKey(9), 64, 256)
+    cfg = SolverConfig(tol=1e-5, max_iters=3000, gap_every=10,
+                       stall_checks=15)
+    ref = bp.batched_lambda_path(inst.problem, cfg, path_len=4)
+
+    monkeypatch.setattr(bp, "EXEC_SWEEP_BUDGET", 20)   # force many slices
+    sliced = bp.batched_lambda_path(inst.problem, cfg, path_len=4)
+    np.testing.assert_array_equal(np.asarray(ref.xs), np.asarray(sliced.xs))
+    np.testing.assert_array_equal(np.asarray(ref.gaps),
+                                  np.asarray(sliced.gaps))
+
+    # masked variant through the same driver
+    rm = jnp.asarray((np.random.default_rng(2).random(64) > 0.3)
+                     .astype(np.float32))
+    ref_m = bp.batched_lambda_path(inst.problem, cfg, path_len=4,
+                                   row_mask=rm)
+    monkeypatch.setattr(bp, "EXEC_SWEEP_BUDGET", 1500)
+    one_m = bp.batched_lambda_path(inst.problem, cfg, path_len=4,
+                                   row_mask=rm)
+    np.testing.assert_array_equal(np.asarray(ref_m.xs), np.asarray(one_m.xs))
