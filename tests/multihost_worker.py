@@ -17,6 +17,10 @@ import json
 import os
 import sys
 
+# subprocess: conftest's sys.path bootstrap does not apply, and on a fresh
+# VM the package may not be pip-installed yet — insert the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     pid = int(sys.argv[1])
