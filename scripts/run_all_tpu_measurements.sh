@@ -39,10 +39,18 @@ run() {
   echo "--- $name rc=$rc" | tee -a "$MAIN_LOG"
 }
 
+# Battery state after the r5 hardware sessions (2026-08-18/19): rows with
+# numbers in BASELINE.md are DONE (validate incl. masked row, warmup
+# probe, config2 bake-off, config3, config4, config5 slab, ADMM, CV
+# headline).  Still queued: headline working-set re-run (OOM fix landed,
+# never re-measured) and the gather-stall probe (the open 5-30 s polish
+# item).  Cheapest-first as always.
 run validate_batch_kernels_tpu.py 1200
+run probe_gather_stall.py   2400
+run measure_headline_ws.py  3600
+run measure_cv_headline.py  4800
 run probe_warmup_aot.py     2400
 run measure_config2.py      2400
-run measure_headline_ws.py  2400
 run measure_config4.py      3000
 run measure_config3.py      2400
 run measure_config5_slab.py 3000
